@@ -1,0 +1,75 @@
+"""Point sampling ops: farthest-point sampling, gather, multinomial sample.
+
+TPU-native replacement for the reference's `sampling` CUDA library
+(sampling/tf_sampling_g.cu). FPS is inherently sequential in the number of
+*selected* points; the TPU formulation keeps the (B, N) running min-distance
+state in registers/VMEM across a `lax.fori_loop` of npoint steps — each step
+is one vectorized distance update + argmax over N lanes, which the VPU eats.
+
+All shapes static; deterministic (ties -> lowest index), which the CUDA
+version's tree reduction only mostly guarantees.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("npoint",))
+def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """Iterative max-min farthest point sampling.
+
+    Parity: sampling/tf_sampling_g.cu:105-170 — selection starts at index 0;
+    each iteration picks the point maximizing the min squared distance to the
+    selected set.
+
+    Args:
+      xyz: (B, N, 3) points.
+    Returns:
+      (B, npoint) int32 indices.
+    """
+    b, n, _ = xyz.shape
+
+    def one_batch(pts):  # (N, 3)
+        def body(i, state):
+            dists, last_idx, out = state
+            last = pts[last_idx]  # (3,)
+            d = jnp.sum(jnp.square(pts - last[None, :]), axis=-1)  # (N,)
+            dists = jnp.minimum(dists, d)
+            nxt = jnp.argmax(dists).astype(jnp.int32)
+            out = out.at[i].set(last_idx)
+            return dists, nxt, out
+
+        init = (
+            jnp.full((n,), jnp.inf, jnp.float32),
+            jnp.int32(0),
+            jnp.zeros((npoint,), jnp.int32),
+        )
+        _, _, out = jax.lax.fori_loop(0, npoint, body, init)
+        return out
+
+    return jax.vmap(one_batch)(xyz)
+
+
+def gather_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched gather (sampling/tf_sampling.py gather_point): (B, N, C) x
+    (B, M) -> (B, M, C). Differentiable through XLA's native gather."""
+    return jnp.take_along_axis(points, idx[..., None], axis=-2)
+
+
+def prob_sample(cdf: jnp.ndarray, uniforms: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-CDF multinomial sampling (sampling/tf_sampling_g.cu:7-103).
+
+    Args:
+      cdf: (B, N) inclusive cumulative probabilities (last entry ~1).
+      uniforms: (B, M) uniform samples in [0, 1).
+    Returns:
+      (B, M) int32 sampled indices.
+    """
+    def one(c, u):
+        return jnp.searchsorted(c, u, side="left").astype(jnp.int32)
+
+    return jax.vmap(one)(cdf, uniforms)
