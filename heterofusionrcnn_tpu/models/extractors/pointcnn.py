@@ -1,0 +1,197 @@
+"""PointCNN feature extractor (parity with hf/core/feature_extractors/
+pointcnn.py): XConv encoder pyramid + XDConv decoder back to all points.
+
+The xconv block (reference :16-153, Algorithm 1 of the PointCNN paper):
+  1) gather K nearest neighbors of each query point, local coords P' = P - p
+  2) lift: F_delta = MLP(P')
+  3) concat with gathered previous features
+  4) learn the X-transformation (K x K) from P'
+  5) F_X = X @ F_*
+  6) separable "conv" over the K axis -> per-query feature
+
+TPU notes: KNN runs on matmul-expanded distance tiles (MXU) chunked to bound
+memory; FPS is the sequential scan in ops.sampling; every (1, K) conv is a
+dense contraction. Static shapes throughout — P comes from the config.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from heterofusionrcnn_tpu.configs.config import PointCNNConfig
+from heterofusionrcnn_tpu.models.extractors.layers import (
+    ConvOverK,
+    DenseBN,
+    DepthwiseConvOverK,
+    SeparableConvOverK,
+)
+from heterofusionrcnn_tpu.ops.grouping import group_point, knn_point
+from heterofusionrcnn_tpu.ops.sampling import farthest_point_sample, gather_point
+
+
+class XConv(nn.Module):
+    """One xconv block (reference pointcnn.py:16-153)."""
+
+    K: int
+    D: int
+    C: int
+    C_pts_fts: int
+    depth_multiplier: int
+    with_X_transformation: bool = True
+    with_global: bool = False
+
+    @nn.compact
+    def __call__(self, pts, fts, qrs, training: bool):
+        """
+        Args:
+          pts: (B, N, 3) source points.
+          fts: (B, N, C_prev) source features or None.
+          qrs: (B, P, 3) query points.
+        Returns:
+          (B, P, C) or (B, P, C + C//4) with the global branch.
+        """
+        k_total = self.K * self.D
+        _, idx = knn_point(k_total, pts, qrs)  # ascending by distance
+        if self.D > 1:
+            idx = idx[:, :, :: self.D]  # dilation (reference :74-75)
+
+        nn_pts = group_point(pts, idx)  # (B, P, K, 3)
+        nn_pts_local = nn_pts - qrs[:, :, None, :]
+
+        # 2) lift points into feature space.
+        f_delta = DenseBN(self.C_pts_fts, name="nn_fts_from_pts_0")(
+            nn_pts_local, training
+        )
+        f_delta = DenseBN(self.C_pts_fts, name="nn_fts_from_pts")(f_delta, training)
+
+        if fts is None:
+            nn_fts_input = f_delta
+        else:
+            nn_fts_prev = group_point(fts, idx)
+            nn_fts_input = jnp.concatenate([f_delta, nn_fts_prev], axis=-1)
+
+        if self.with_X_transformation:
+            # 4) learn X (K x K) from local coords (reference :108-128).
+            b, p = nn_pts_local.shape[:2]
+            x0 = ConvOverK(self.K * self.K, name="X_0")(nn_pts_local, training)
+            x0 = x0.reshape(b, p, self.K, self.K)
+            x1 = DepthwiseConvOverK(self.K, name="X_1")(x0, training)
+            x1 = x1.reshape(b, p, self.K, self.K)
+            x2 = DepthwiseConvOverK(self.K, activation=None, name="X_2")(x1, training)
+            x2 = x2.reshape(b, p, self.K, self.K)
+            # 5) weight/permute features.
+            fts_x = jnp.einsum("bpkj,bpjc->bpkc", x2, nn_fts_input)
+        else:
+            fts_x = nn_fts_input
+
+        # 6) separable conv over the K axis.
+        out = SeparableConvOverK(
+            self.C, self.depth_multiplier, name="fts_conv"
+        )(fts_x, training)  # (B, P, C)
+
+        if self.with_global:
+            g = DenseBN(self.C // 4, name="fts_global_0")(qrs, training)
+            g = DenseBN(self.C // 4, name="fts_global")(g, training)
+            return jnp.concatenate([g, out], axis=-1)
+        return out
+
+
+class PointCNN(nn.Module):
+    """Config-driven XConv encoder + XDConv decoder (reference :189-388).
+
+    __call__(points (B, N, 3), features (B, N, Cf) | None) ->
+        (points (B, P_out, 3), features (B, P_out, C_out)).
+    For the RPN config the decoder returns to all N input points.
+    """
+
+    config: PointCNNConfig
+
+    @nn.compact
+    def __call__(self, points, features, training: bool):
+        cfg = self.config
+        xconvs = cfg.xconv_layers
+        xdconvs = cfg.xdconv_layers
+
+        layer_pts = [points]
+        layer_fts = [features]
+
+        for layer_idx, lp in enumerate(xconvs):
+            tag = f"xconv_{layer_idx + 1}"
+            p_target = lp.P
+            pts = layer_pts[-1]
+            fts = layer_fts[-1]
+
+            if p_target == -1 or (layer_idx > 0 and p_target == xconvs[layer_idx - 1].P):
+                qrs = pts
+            elif cfg.sampling == "fps":
+                fps_idx = farthest_point_sample(pts, p_target)
+                qrs = gather_point(pts, fps_idx)
+            elif cfg.sampling == "random":
+                qrs = pts[:, :p_target]
+            else:
+                raise ValueError(f"unknown sampling {cfg.sampling}")
+            layer_pts.append(qrs)
+
+            # C_pts_fts / depth multiplier schedule (reference :250-258).
+            if layer_idx == 0:
+                c_pts_fts = lp.C // 2 if fts is None else lp.C // 4
+                depth_multiplier = 4
+            else:
+                c_prev = xconvs[layer_idx - 1].C
+                c_pts_fts = c_prev // 4
+                depth_multiplier = math.ceil(lp.C / c_prev)
+
+            with_global = cfg.with_global and layer_idx == len(xconvs) - 1
+            out = XConv(
+                K=lp.K,
+                D=lp.D,
+                C=lp.C,
+                C_pts_fts=c_pts_fts,
+                depth_multiplier=depth_multiplier,
+                with_X_transformation=cfg.with_X_transformation,
+                with_global=with_global,
+                name=tag,
+            )(pts, fts, qrs, training)
+            layer_fts.append(out)
+
+        for layer_idx, lp in enumerate(xdconvs):
+            tag = f"xdconv_{layer_idx + 1}"
+            pts = layer_pts[lp.pts_layer_idx + 1]
+            fts = (
+                layer_fts[lp.pts_layer_idx + 1]
+                if layer_idx == 0
+                else layer_fts[-1]
+            )
+            qrs = layer_pts[lp.qrs_layer_idx + 1]
+            fts_qrs = layer_fts[lp.qrs_layer_idx + 1]
+            c = xconvs[lp.qrs_layer_idx].C
+            c_prev = xconvs[lp.pts_layer_idx].C
+            c_pts_fts = c_prev // 4
+
+            out = XConv(
+                K=lp.K,
+                D=lp.D,
+                C=c,
+                C_pts_fts=c_pts_fts,
+                depth_multiplier=1,
+                with_X_transformation=cfg.with_X_transformation,
+                with_global=False,
+                name=tag,
+            )(pts, fts, qrs, training)
+            fused = jnp.concatenate([out, fts_qrs], axis=-1)
+            fused = DenseBN(c, name=tag + "_fuse")(fused, training)
+            layer_pts.append(qrs)
+            layer_fts.append(fused)
+
+        output_fts = layer_fts[-1]
+        for i, fc in enumerate(cfg.fc_layers):
+            output_fts = DenseBN(fc.C, name=f"fc{i}")(output_fts, training)
+            output_fts = nn.Dropout(fc.dropout_rate, deterministic=not training)(
+                output_fts
+            )
+
+        return layer_pts[-1], output_fts

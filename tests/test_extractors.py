@@ -1,0 +1,160 @@
+"""Feature extractor tests: shapes, init, gradients, BN state."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from heterofusionrcnn_tpu.configs.config import (
+    FCLayer,
+    FPModuleConfig,
+    ImgVggPyrConfig,
+    PointCNNConfig,
+    PointNetConfig,
+    SAModuleConfig,
+    XConvParam,
+    XDConvParam,
+)
+from heterofusionrcnn_tpu.models.extractors.img_vgg_pyr import (
+    ImgVggPyr,
+    preprocess_image,
+)
+from heterofusionrcnn_tpu.models.extractors.pointcnn import PointCNN, XConv
+from heterofusionrcnn_tpu.models.extractors.pointnet import PointNet
+
+
+def small_pointcnn():
+    return PointCNNConfig(
+        sampling="fps",
+        with_X_transformation=True,
+        with_global=True,
+        xconv_layers=[
+            XConvParam(K=4, D=1, P=-1, C=16),
+            XConvParam(K=4, D=1, P=64, C=16),
+            XConvParam(K=4, D=1, P=16, C=32),
+        ],
+        xdconv_layers=[
+            XDConvParam(K=4, D=1, pts_layer_idx=2, qrs_layer_idx=1),
+            XDConvParam(K=4, D=1, pts_layer_idx=1, qrs_layer_idx=0),
+            XDConvParam(K=4, D=1, pts_layer_idx=0, qrs_layer_idx=0),
+        ],
+        fc_layers=[FCLayer(24, 0.5)],
+    )
+
+
+def test_xconv_shapes():
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
+    fts = jnp.asarray(rng.normal(size=(2, 64, 8)).astype(np.float32))
+    qrs = pts[:, :16]
+    mod = XConv(K=4, D=1, C=32, C_pts_fts=8, depth_multiplier=2)
+    variables = mod.init(
+        {"params": jax.random.PRNGKey(0)}, pts, fts, qrs, training=False
+    )
+    out = mod.apply(variables, pts, fts, qrs, training=False)
+    assert out.shape == (2, 16, 32)
+
+
+def test_xconv_with_global():
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.normal(size=(1, 32, 3)).astype(np.float32))
+    qrs = pts[:, :8]
+    mod = XConv(K=4, D=1, C=32, C_pts_fts=16, depth_multiplier=4, with_global=True)
+    variables = mod.init({"params": jax.random.PRNGKey(0)}, pts, None, qrs, False)
+    out = mod.apply(variables, pts, None, qrs, False)
+    assert out.shape == (1, 8, 32 + 8)
+
+
+def test_pointcnn_full_stack():
+    cfg = small_pointcnn()
+    rng = np.random.default_rng(2)
+    pts = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+    fts = jnp.asarray(rng.normal(size=(2, 128, 1)).astype(np.float32))
+    mod = PointCNN(cfg)
+    variables = mod.init({"params": jax.random.PRNGKey(0)}, pts, fts, False)
+    out_pts, out_fts = mod.apply(variables, pts, fts, False)
+    # Decoder returns to the full input point set.
+    assert out_pts.shape == (2, 128, 3)
+    assert out_fts.shape == (2, 128, 24)
+    assert np.isfinite(np.asarray(out_fts)).all()
+
+
+def test_pointcnn_train_mode_updates_batch_stats():
+    cfg = small_pointcnn()
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.normal(size=(1, 128, 3)).astype(np.float32))
+    fts = jnp.asarray(rng.normal(size=(1, 128, 1)).astype(np.float32))
+    mod = PointCNN(cfg)
+    variables = mod.init({"params": jax.random.PRNGKey(0)}, pts, fts, False)
+    out, updates = mod.apply(
+        variables,
+        pts,
+        fts,
+        True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )
+    assert "batch_stats" in updates
+    # Running stats must have moved.
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(updates["batch_stats"])
+    assert any(not np.allclose(o, n) for o, n in zip(old, new))
+
+
+def test_pointcnn_differentiable():
+    cfg = small_pointcnn()
+    rng = np.random.default_rng(4)
+    pts = jnp.asarray(rng.normal(size=(1, 128, 3)).astype(np.float32))
+    fts = jnp.asarray(rng.normal(size=(1, 128, 1)).astype(np.float32))
+    mod = PointCNN(cfg)
+    variables = mod.init({"params": jax.random.PRNGKey(0)}, pts, fts, False)
+
+    def loss_fn(params):
+        _, out = mod.apply({**variables, "params": params}, pts, fts, False)
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # Gradients reach the first xconv.
+    total = sum(float(jnp.abs(l).sum()) for l in leaves)
+    assert total > 0
+
+
+def test_pointnet_stack():
+    cfg = PointNetConfig(
+        sa_modules=[
+            SAModuleConfig(npoint=64, radius=0.5, nsample=8, mlp=[16, 16]),
+            SAModuleConfig(npoint=16, radius=1.0, nsample=8, mlp=[32, 32]),
+        ],
+        fp_modules=[FPModuleConfig(mlp=[32]), FPModuleConfig(mlp=[16])],
+        fc_layers=[FCLayer(16, 0.5)],
+    )
+    rng = np.random.default_rng(5)
+    pts = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32))
+    mod = PointNet(cfg)
+    variables = mod.init({"params": jax.random.PRNGKey(0)}, pts, None, False)
+    out_pts, out_fts = mod.apply(variables, pts, None, False)
+    assert out_pts.shape == (2, 256, 3)
+    assert out_fts.shape == (2, 256, 16)
+
+
+def test_img_vgg_pyr():
+    cfg = ImgVggPyrConfig(
+        vgg_conv1=(1, 4), vgg_conv2=(1, 8), vgg_conv3=(1, 16), vgg_conv4=(1, 16)
+    )
+    rng = np.random.default_rng(6)
+    img = jnp.asarray(rng.uniform(0, 255, (1, 48, 96, 3)).astype(np.float32))
+    img = preprocess_image(img)
+    mod = ImgVggPyr(cfg)
+    variables = mod.init({"params": jax.random.PRNGKey(0)}, img, False)
+    out = mod.apply(variables, img, False)
+    assert out.shape == (1, 48, 96, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_preprocess_image_zero_centers():
+    img = jnp.full((1, 8, 8, 3), 95.0)
+    out = np.asarray(preprocess_image(img))
+    assert np.abs(out).max() < 5.0
