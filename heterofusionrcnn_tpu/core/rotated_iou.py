@@ -1,116 +1,104 @@
 """Rotated-rectangle BEV overlap / IoU and 3D IoU, fully vectorized jnp.
 
 TPU-native replacement for the reference's bev_iou CUDA library
-(bev_iou/bev_iou_g.cu): instead of per-pair branchy polygon clipping, every
-pair enumerates a fixed set of 24 candidate intersection-polygon vertices
-(16 edge-edge intersections + 2x4 contained corners) with validity masks,
-sorts them by angle around the valid-point centroid, and applies the shoelace
-formula — branch-free, static shapes, vmap/vectorized over arbitrary batch
-dims. Numerics track the CUDA kernel's predicates (strict sign tests with
-EPS=1e-8, point-in-box MARGIN=1e-5) so keep-sets and IoU values match the
-reference within float tolerance.
+(bev_iou/bev_iou_g.cu). The overlap is computed with the Green's-theorem
+line-integral form of convex polygon intersection: the boundary of A|B is
+(dA clipped to B) + (dB clipped to A); for a segment P->Q parameterized by
+t in [t0, t1], the integral of (x dz - z dx) equals (t1 - t0)*cross(P, Q) -
+the integrand is constant along a straight edge - and each [t0, t1] is the
+single interval where the segment lies inside the (convex) other rectangle,
+found by 4 branch-free half-plane entry/exit tests. Area = 0.5 * sum.
+
+Why this formulation: it is exact (same values as the CUDA polygon clip up
+to float EPS at degenerate boundaries), and needs no vertex buffers, sorts,
+scatters or gathers - just ~450 elementwise flops per pair laid out SoA, so
+the large pair dimension stays the TPU lane dimension with zero padding
+waste. Broadcasts over arbitrary leading batch dims.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from heterofusionrcnn_tpu.core.geometry import bev_box_corners, boxes_3d_to_bev
+from heterofusionrcnn_tpu.core.geometry import boxes_3d_to_bev
 
 _EPS = 1e-8
-_MARGIN = 1e-5
 
 
-def _cross(o, a, b):
-    """2D cross of (a-o) x (b-o); trailing dim 2."""
-    return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
-        b[..., 0] - o[..., 0]
-    ) * (a[..., 1] - o[..., 1])
+def _bev_corners_soa(boxes):
+    """BEV box (..., 5) -> per-corner coordinate lists (4 x's, 4 z's).
 
-
-def _segment_intersections(pa, pb):
-    """All 16 edge-edge intersection candidates between two quads.
-
-    Mirrors `intersection()` in bev_iou_g.cu:63-91 (sign tests s1*s2>0 and
-    s3*s4>0, parametric intersection point).
-
-    Args:
-      pa, pb: (..., 4, 2) corners.
-    Returns:
-      pts (..., 16, 2), valid (..., 16) bool.
+    Same rotation convention as geometry.bev_box_corners (the x/z projection
+    of the 3D corner math): x' = dx*cos + dz*sin + cx, z' = -dx*sin + dz*cos.
+    Corner order [(x1,z1),(x2,z1),(x2,z2),(x1,z2)] is CCW in (x, z).
     """
-    # Edges: (start, end) = (corner[i], corner[i+1 mod 4]).
-    a0 = pa  # (..., 4, 2)
-    a1 = jnp.roll(pa, -1, axis=-2)
-    b0 = pb
-    b1 = jnp.roll(pb, -1, axis=-2)
-
-    # Broadcast to all 16 pairs: a edges on axis -3, b edges on axis -2.
-    p0 = a0[..., :, None, :]
-    p1 = a1[..., :, None, :]
-    q0 = b0[..., None, :, :]
-    q1 = b1[..., None, :, :]
-
-    s1 = _cross(p0, q0, p1)  # cross(q0, p1, p0) with CUDA arg order (p1,p2,origin)
-    s2 = _cross(p0, p1, q1)
-    s3 = _cross(q0, p0, q1)
-    s4 = _cross(q0, q1, p1)
-    valid = (s1 * s2 > 0) & (s3 * s4 > 0)
-
-    s5 = _cross(p0, q1, p1)
-    denom = s5 - s1
-    safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
-    ix = (s5 * q0[..., 0] - s1 * q1[..., 0]) / safe
-    iy = (s5 * q0[..., 1] - s1 * q1[..., 1]) / safe
-
-    # CUDA fallback for near-parallel lines (denominator ~ 0): general line-
-    # line solve. With valid=False in the parallel case (s-tests fail) this
-    # rarely triggers; keep the same formula for exactness when it does.
-    a0c = p0[..., 1] - p1[..., 1]
-    b0c = p1[..., 0] - p0[..., 0]
-    c0c = p0[..., 0] * p1[..., 1] - p1[..., 0] * p0[..., 1]
-    a1c = q0[..., 1] - q1[..., 1]
-    b1c = q1[..., 0] - q0[..., 0]
-    c1c = q0[..., 0] * q1[..., 1] - q1[..., 0] * q0[..., 1]
-    dd = a0c * b1c - a1c * b0c
-    dd_safe = jnp.where(jnp.abs(dd) > 0, dd, 1.0)
-    fx = (b0c * c1c - b1c * c0c) / dd_safe
-    fy = (a1c * c0c - a0c * c1c) / dd_safe
-
-    use_fallback = jnp.abs(denom) <= _EPS
-    ix = jnp.where(use_fallback, fx, ix)
-    iy = jnp.where(use_fallback, fy, iy)
-
-    pts = jnp.stack([ix, iy], axis=-1)  # (..., 4, 4, 2)
-    shp = pts.shape[:-3] + (16, 2)
-    return pts.reshape(shp), valid.reshape(valid.shape[:-2] + (16,))
-
-
-def _points_in_bev_box(bev_box, pts):
-    """check_in_box2d (bev_iou_g.cu:44-60): rotate the point by +angle into
-    the box frame and compare against the axis-aligned extent with margin.
-
-    Args:
-      bev_box: (..., 5); pts: (..., 4, 2).
-    Returns:
-      (..., 4) bool.
-    """
-    x1, z1, x2, z2, ry = (bev_box[..., i] for i in range(5))
+    x1, z1, x2, z2, ry = (boxes[..., i] for i in range(5))
     cx = 0.5 * (x1 + x2)
     cz = 0.5 * (z1 + z2)
-    # angle_cos = cos(-ry), angle_sin = sin(-ry); rot_x = dx*cos + dz*sin + cx
-    c = jnp.cos(-ry)[..., None]
-    s = jnp.sin(-ry)[..., None]
-    dx = pts[..., 0] - cx[..., None]
-    dz = pts[..., 1] - cz[..., None]
-    rx = dx * c + dz * s + cx[..., None]
-    rz = -dx * s + dz * c + cz[..., None]
-    return (
-        (rx > x1[..., None] - _MARGIN)
-        & (rx < x2[..., None] + _MARGIN)
-        & (rz > z1[..., None] - _MARGIN)
-        & (rz < z2[..., None] + _MARGIN)
-    )
+    c = jnp.cos(ry)
+    s = jnp.sin(ry)
+    xs = []
+    zs = []
+    for dx_sign, dz_sign in ((-1, -1), (1, -1), (1, 1), (-1, 1)):
+        dx = dx_sign * 0.5 * (x2 - x1)
+        dz = dz_sign * 0.5 * (z2 - z1)
+        xs.append(dx * c + dz * s + cx)
+        zs.append(-dx * s + dz * c + cz)
+    return xs, zs
+
+
+def _edges_in_poly_integral(ax, az, bx, bz, drop_same_dir_collinear=False):
+    """Sum of line integrals of A's edges clipped to rectangle B.
+
+    Degenerate shared boundaries: a segment lying exactly on a clip edge
+    belongs to the intersection boundary once. When ∂A and ∂B coincide with
+    the SAME direction (identical/nested-boundary boxes) the segment would be
+    counted by both passes, so the pass with `drop_same_dir_collinear=True`
+    (the B-in-A pass) excludes it; when they coincide with OPPOSITE
+    directions (touching boxes, zero-area overlap) both passes keep it and
+    the two traversals cancel exactly.
+
+    Args:
+      ax, az: lists of 4 (...)-shaped corner coordinates of A (CCW).
+      bx, bz: same for the clip rectangle B (CCW).
+    Returns:
+      (...) sum over A's edges of (t1 - t0) * cross(P, Q).
+    """
+    total = 0.0
+    for e in range(4):
+        px, pz = ax[e], az[e]
+        qx, qz = ax[(e + 1) % 4], az[(e + 1) % 4]
+
+        t0 = jnp.zeros_like(px)
+        t1 = jnp.ones_like(px)
+        for h in range(4):
+            hx0, hz0 = bx[h], bz[h]
+            ex = bx[(h + 1) % 4] - hx0
+            ez = bz[(h + 1) % 4] - hz0
+            # Signed distance to the half-plane (interior side is >= 0 for a
+            # CCW clip polygon).
+            d0 = ex * (pz - hz0) - ez * (px - hx0)
+            d1 = ex * (qz - hz0) - ez * (qx - hx0)
+            denom = d0 - d1
+            t_cross = d0 / jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+
+            entering = (d0 < 0) & (d1 >= 0)
+            leaving = (d0 >= 0) & (d1 < 0)
+            both_out = (d0 < 0) & (d1 < 0)
+
+            if drop_same_dir_collinear:
+                collinear = (jnp.abs(d0) <= _EPS) & (jnp.abs(d1) <= _EPS)
+                same_dir = (qx - px) * ex + (qz - pz) * ez > 0
+                both_out = both_out | (collinear & same_dir)
+
+            t0 = jnp.maximum(t0, jnp.where(entering, t_cross, 0.0))
+            t1 = jnp.minimum(t1, jnp.where(leaving, t_cross, 1.0))
+            # Fully outside this half-plane: empty interval.
+            t1 = jnp.where(both_out, -1.0, t1)
+
+        span = jnp.maximum(t1 - t0, 0.0)
+        total = total + span * (px * qz - pz * qx)
+    return total
 
 
 def bev_overlap(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
@@ -118,53 +106,18 @@ def bev_overlap(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
 
     Args:
       boxes_a: (..., 5) and boxes_b: (..., 5) broadcastable BEV boxes
-        [x1, z1, x2, z2, ry] — pre-broadcast to pair shape by the caller
+        [x1, z1, x2, z2, ry] - pre-broadcast to pair shape by the caller
         (e.g. a[:, None, :], b[None, :, :] for an (N, M) table).
     Returns:
       (...) overlap areas.
     """
-    ca = bev_box_corners(boxes_a)  # (..., 4, 2)
-    cb = bev_box_corners(boxes_b)
-
-    inter_pts, inter_valid = _segment_intersections(ca, cb)  # (...,16,2) (...,16)
-    a_in_b = _points_in_bev_box(boxes_b, ca)  # (..., 4)
-    b_in_a = _points_in_bev_box(boxes_a, cb)
-
-    batch = inter_pts.shape[:-2]
-    ca = jnp.broadcast_to(ca, batch + (4, 2))
-    cb = jnp.broadcast_to(cb, batch + (4, 2))
-    a_in_b = jnp.broadcast_to(a_in_b, batch + (4,))
-    b_in_a = jnp.broadcast_to(b_in_a, batch + (4,))
-    pts = jnp.concatenate([inter_pts, ca, cb], axis=-2)  # (..., 24, 2)
-    valid = jnp.concatenate([inter_valid, a_in_b, b_in_a], axis=-1)  # (..., 24)
-
-    cnt = jnp.sum(valid, axis=-1)  # (...)
-    vf = valid[..., None].astype(pts.dtype)
-    centroid = jnp.sum(pts * vf, axis=-2) / jnp.maximum(
-        cnt[..., None].astype(pts.dtype), 1.0
+    ax, az = _bev_corners_soa(boxes_a)
+    bx, bz = _bev_corners_soa(boxes_b)
+    total = _edges_in_poly_integral(ax, az, bx, bz)
+    total = total + _edges_in_poly_integral(
+        bx, bz, ax, az, drop_same_dir_collinear=True
     )
-
-    ang = jnp.arctan2(
-        pts[..., 1] - centroid[..., None, 1], pts[..., 0] - centroid[..., None, 0]
-    )
-    ang = jnp.where(valid, ang, jnp.inf)  # invalid points sort last
-    order = jnp.argsort(ang, axis=-1)
-    sorted_pts = jnp.take_along_axis(pts, order[..., None], axis=-2)
-    sorted_valid = jnp.take_along_axis(valid, order, axis=-1)
-
-    # Shoelace fan from the first (angle-min) vertex; invalid vertices are
-    # collapsed onto v0 so their triangle contributions vanish.
-    v0 = sorted_pts[..., 0:1, :]
-    fan = jnp.where(sorted_valid[..., None], sorted_pts, v0)
-    x = fan[..., 0]
-    y = fan[..., 1]
-    x0 = x[..., 0:1]
-    y0 = y[..., 0:1]
-    crosses = (x[..., :-1] - x0) * (y[..., 1:] - y0) - (x[..., 1:] - x0) * (
-        y[..., :-1] - y0
-    )
-    area = 0.5 * jnp.abs(jnp.sum(crosses, axis=-1))
-    return jnp.where(cnt >= 3, area, 0.0)
+    return jnp.maximum(0.5 * total, 0.0)
 
 
 def bev_iou(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
