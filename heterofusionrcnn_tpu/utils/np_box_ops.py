@@ -29,6 +29,65 @@ def box_3d_to_corners(boxes_3d: np.ndarray) -> np.ndarray:
     return corners + boxes_3d[..., None, 0:3]
 
 
+def _clip_polygon(poly, p0, p1):
+    """Clip polygon by the half-plane left of p0->p1 (CCW interior)."""
+    out = []
+    n = len(poly)
+    ex, ez = p1[0] - p0[0], p1[1] - p0[1]
+    for i in range(n):
+        cur, nxt = poly[i], poly[(i + 1) % n]
+        d_cur = ex * (cur[1] - p0[1]) - ez * (cur[0] - p0[0])
+        d_nxt = ex * (nxt[1] - p0[1]) - ez * (nxt[0] - p0[0])
+        if d_cur >= 0:
+            out.append(cur)
+        if (d_cur < 0 <= d_nxt) or (d_nxt < 0 <= d_cur):
+            t = d_cur / (d_cur - d_nxt)
+            out.append(cur + t * (nxt - cur))
+    return out
+
+
+def _bev_corners(box_3d):
+    """BEV footprint corners (CCW) of one box_3d."""
+    x, _, z, l, w, _, ry = box_3d
+    c, s = np.cos(ry), np.sin(ry)
+    pts = []
+    for dx_s, dz_s in ((-1, -1), (1, -1), (1, 1), (-1, 1)):
+        dx, dz = dx_s * l / 2.0, dz_s * w / 2.0
+        pts.append(np.array([dx * c + dz * s + x, -dx * s + dz * c + z]))
+    return pts
+
+
+def box_3d_iou_pair(box_a: np.ndarray, box_b: np.ndarray):
+    """3D and BEV IoU of two boxes (host twin of core.rotated_iou.box_3d_iou;
+    used by the RCNN RoI-noise retry loop, parity with
+    hf/core/box_util.box3d_iou). Returns (iou_3d, iou_2d)."""
+    poly = _bev_corners(box_a)
+    clip = _bev_corners(box_b)
+    for e in range(4):
+        poly = _clip_polygon(poly, clip[e], clip[(e + 1) % 4])
+        if not poly:
+            break
+    if len(poly) >= 3:
+        pts = np.asarray(poly)
+        x, z = pts[:, 0], pts[:, 1]
+        inter = 0.5 * abs(np.dot(x, np.roll(z, -1)) - np.dot(z, np.roll(x, -1)))
+    else:
+        inter = 0.0
+
+    area_a = box_a[3] * box_a[4]
+    area_b = box_b[3] * box_b[4]
+    iou_2d = inter / max(area_a + area_b - inter, 1e-8)
+
+    ymax = min(box_a[1], box_b[1])
+    ymin = max(box_a[1] - box_a[5], box_b[1] - box_b[5])
+    inter_h = max(ymax - ymin, 0.0)
+    inter_3d = inter * inter_h
+    vol_a = area_a * box_a[5]
+    vol_b = area_b * box_b[5]
+    iou_3d = inter_3d / max(vol_a + vol_b - inter_3d, 1e-8)
+    return iou_3d, iou_2d
+
+
 def points_in_box(points: np.ndarray, box_3d: np.ndarray, eps: float = 1e-6):
     """(N, 3) points inside one oriented box_3d -> (N,) bool mask.
 
