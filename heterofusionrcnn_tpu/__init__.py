@@ -14,3 +14,13 @@ bev_iou) are static-shape XLA/Pallas kernels in `heterofusionrcnn_tpu.ops`.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: repeated CLI invocations (train -> eval ->
+# train) reuse compiled executables instead of paying 10-60s compiles each.
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "hfr_jax_cache"),
+)
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

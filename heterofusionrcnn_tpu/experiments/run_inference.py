@@ -1,0 +1,149 @@
+"""Fused two-stage inference CLI (parity with hf/experiments/run_inference.py
+plus the freeze-graph splice, scripts/freeze_graph/
+combine_and_freeze_graph_fuse.py): RPN test-mode outputs feed the RCNN
+directly in one process — no file handoff.
+
+    python -m heterofusionrcnn_tpu.experiments.run_inference \
+        --rpn_config rpn_multiclass --rcnn_config rcnn_multiclass \
+        --rpn_checkpoint outputs/rpn_multiclass/checkpoints \
+        --rcnn_checkpoint outputs/rcnn_multiclass/checkpoints \
+        --data_split val --output_root outputs
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from heterofusionrcnn_tpu.experiments import common
+from heterofusionrcnn_tpu.runtime.checkpoint import CheckpointManager
+
+
+def build_fused_inference(rpn_cfg, rcnn_cfg, dataset):
+    """A single jitted function running RPN proposals -> RCNN refinement."""
+    rpn_model, _ = common.build_model(rpn_cfg, dataset, "test", save_rpn_feature=True)
+    rcnn_model, _ = common.build_model(rcnn_cfg, dataset, "test")
+
+    def fused(rpn_vars, rcnn_vars, pc, img, p2):
+        rpn_out = rpn_model.apply(rpn_vars, pc, img, p2, training=False)
+        proposals = rpn_out["proposals"]  # (B, post, 7)
+        B, n = proposals.shape[:2]
+        fts = jax.numpy.concatenate(
+            [rpn_out["rpn_fts"], rpn_out["rpn_img_fts"]], axis=-1
+        )
+        zeros_iou = jax.numpy.zeros((B, n))
+        zeros_gt = jax.numpy.zeros((B, n, 8))
+        rcnn_out = rcnn_model.apply(
+            rcnn_vars,
+            proposals,
+            zeros_iou,
+            zeros_gt,
+            rpn_out["rpn_pts"],
+            rpn_out["rpn_intensity"][..., 0],
+            rpn_out["foreground_mask"].astype(jax.numpy.float32),
+            fts,
+            img,
+            p2,
+            training=False,
+        )
+        return {
+            "proposals": proposals,
+            "proposal_scores": rpn_out["proposal_scores"],
+            "final_boxes": rcnn_out["final_boxes"],
+            "final_scores": rcnn_out["final_scores"],
+            "final_classes": rcnn_out["final_classes"],
+            "final_valid": rcnn_out["final_valid"],
+            "num_final": rcnn_out["num_boxes_before_padding"],
+        }
+
+    return jax.jit(fused), rpn_model, rcnn_model
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--rpn_config", default="rpn_multiclass")
+    parser.add_argument("--rcnn_config", default="rcnn_multiclass")
+    parser.add_argument("--rpn_checkpoint", required=True)
+    parser.add_argument("--rcnn_checkpoint", required=True)
+    parser.add_argument("--data_split", default="val")
+    parser.add_argument("--dataset_dir", default=None)
+    parser.add_argument("--output_root", default="outputs")
+    args = parser.parse_args()
+
+    rpn_cfg = common.resolve_config(args.rpn_config, args.dataset_dir)
+    rcnn_cfg = common.resolve_config(args.rcnn_config, args.dataset_dir)
+    rpn_cfg.dataset_config.aug_list = []
+    rcnn_cfg.model_config.path_drop_probabilities = [1.0, 1.0]
+    rpn_cfg.model_config.path_drop_probabilities = [1.0, 1.0]
+
+    dataset = common.build_dataset(rpn_cfg, "test", args.data_split)
+    fused, rpn_model, rcnn_model = build_fused_inference(
+        rpn_cfg, rcnn_cfg, dataset
+    )
+
+    def load_vars(ckpt_dir):
+        mgr = CheckpointManager(ckpt_dir)
+        step = mgr.latest_step()
+        restored = mgr._mgr.restore(step)
+        mgr.close()
+        return (
+            {"params": restored["params"], "batch_stats": restored["batch_stats"]},
+            step,
+        )
+
+    rpn_vars, rpn_step = load_vars(args.rpn_checkpoint)
+    rcnn_vars, rcnn_step = load_vars(args.rcnn_checkpoint)
+
+    out_dir = os.path.join(
+        args.output_root,
+        rcnn_cfg.model_config.checkpoint_name,
+        "predictions",
+        "final_predictions_and_scores",
+        args.data_split,
+        f"{rpn_step}_{rcnn_step}_fused",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    ic = rpn_cfg.model_config.input_config
+    times = []
+    dataset._index_in_epoch = 0
+    epoch0 = dataset.epochs_completed
+    while dataset.epochs_completed == epoch0:
+        batch, names = dataset.next_batch(
+            1, shuffle=False, model="rpn",
+            pc_sample_pts=ic.pc_sample_pts,
+            img_w=ic.img_dims_w, img_h=ic.img_dims_h,
+        )
+        t0 = time.time()
+        out = jax.device_get(
+            fused(
+                rpn_vars, rcnn_vars,
+                batch["point_cloud"], batch["image_input"],
+                batch["stereo_calib_p2"],
+            )
+        )
+        times.append(time.time() - t0)
+
+        n = int(out["num_final"][0])
+        rows = np.column_stack(
+            [
+                out["final_boxes"][0][:n],
+                out["final_scores"][0][:n],
+                out["final_classes"][0][:n],
+            ]
+        )
+        np.savetxt(os.path.join(out_dir, names[0] + ".txt"), rows, fmt="%.5f")
+
+    print(
+        f"inference done: {len(times)} samples, "
+        f"mean {np.mean(times) * 1000:.1f} ms, median "
+        f"{np.median(times) * 1000:.1f} ms -> {out_dir}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,305 @@
+"""Checkpoint evaluator (parity with hf/core/evaluator.py).
+
+Runs a val/test epoch for one checkpoint:
+  RPN:  saves proposals_and_scores/<split>/<step>/<sample>.txt (rows box+score,
+        %.3f), rpn_feature/<...>.npy ([pts, intensity, fg_mask, pc_fts,
+        img_fts]), proposals_iou/<...>.txt ((n, m_gt) 3D-IoU table), and
+        aggregates seg-accuracy / recall@{0.5,0.7} CSVs.
+  RCNN: saves final_predictions_and_scores/<split>/<step>/<sample>.txt (rows
+        x y z l w h ry score cls, %.5f) and converts them to KITTI-format
+        txts for the offline AP evaluator.
+
+Also implements the checkpoint-watching loops (run_latest_checkpoints /
+repeated_checkpoint_run) with the skip-evaluated ledger.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from heterofusionrcnn_tpu.runtime.kitti_writer import save_predictions_in_kitti_format
+from heterofusionrcnn_tpu.utils.metrics import compute_recall_iou
+
+
+def _append_csv(path, header, row):
+    exists = os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.writer(f)
+        if not exists:
+            w.writerow(header)
+        w.writerow(row)
+
+
+class RpnEvaluator:
+    """Stage-1 evaluator: proposal generation + metrics + RCNN handoff files."""
+
+    def __init__(
+        self,
+        model,
+        dataset,
+        pipeline_cfg,
+        output_root: str,
+        save_rpn_feature: bool = False,
+    ):
+        self.model = model
+        self.dataset = dataset
+        self.cfg = pipeline_cfg
+        self.save_rpn_feature = save_rpn_feature
+        name = pipeline_cfg.model_config.checkpoint_name
+        self.predictions_dir = os.path.join(output_root, name, "predictions")
+        self.logs_dir = os.path.join(output_root, name, "logs")
+        os.makedirs(self.predictions_dir, exist_ok=True)
+        os.makedirs(self.logs_dir, exist_ok=True)
+
+        self._apply = jax.jit(
+            lambda variables, pc, img, p2, seg, reg, boxes: model.apply(
+                variables, pc, img, p2, seg, reg, boxes, training=False
+            )
+        )
+
+    def run_checkpoint_once(self, variables, global_step) -> dict:
+        ds = self.dataset
+        ic = self.cfg.model_config.input_config
+        split = ds.data_split
+        base = self.predictions_dir
+
+        prop_dir = os.path.join(base, "proposals_and_scores", split, str(global_step))
+        os.makedirs(prop_dir, exist_ok=True)
+        iou_dir = os.path.join(base, "proposals_iou", split, str(global_step))
+        os.makedirs(iou_dir, exist_ok=True)
+        if self.save_rpn_feature:
+            feat_dir = os.path.join(base, "rpn_feature", split, str(global_step))
+            os.makedirs(feat_dir, exist_ok=True)
+
+        stats = {
+            "seg_acc": [],
+            "recall_50": 0,
+            "recall_70": 0,
+            "num_gt": 0,
+            "num_proposals": [],
+            "iou2d": [],
+            "iou3d": [],
+        }
+        infer_times = []
+
+        ds._index_in_epoch = 0
+        epoch0 = ds.epochs_completed
+        while ds.epochs_completed == epoch0:
+            batch, names = ds.next_batch(
+                1,
+                shuffle=False,
+                model="rpn",
+                pc_sample_pts=ic.pc_sample_pts,
+                img_w=ic.img_dims_w,
+                img_h=ic.img_dims_h,
+            )
+            t0 = time.time()
+            preds = self._apply(
+                variables,
+                batch["point_cloud"],
+                batch["image_input"],
+                batch["stereo_calib_p2"],
+                batch["label_seg"],
+                batch["label_reg"],
+                batch["label_boxes_3d"],
+            )
+            preds = jax.device_get(preds)
+            infer_times.append(time.time() - t0)
+
+            name = names[0]
+            n_valid = int(preds["num_proposals_before_padding"][0])
+            proposals = preds["proposals"][0][:n_valid]
+            scores = preds["proposal_scores"][0][:n_valid]
+            np.savetxt(
+                os.path.join(prop_dir, name + ".txt"),
+                np.hstack([proposals, scores[:, None]]),
+                fmt="%.3f",
+            )
+
+            m = int(batch["label_num_boxes"][0])
+            label_boxes = batch["label_boxes_3d"][0][:m]
+            label_cls = np.zeros(m, np.float32)
+            iou3d_table = preds["proposal_iou3d"][0][:n_valid, :m]
+            iou2d_table = preds["proposal_iou2d"][0][:n_valid, :m]
+            np.savetxt(os.path.join(iou_dir, name + ".txt"), iou3d_table)
+
+            r50, r70, iou2ds, iou3ds, _, _, _ = compute_recall_iou(
+                proposals, label_boxes, label_cls, iou2d_table, iou3d_table
+            )
+            stats["recall_50"] += r50
+            stats["recall_70"] += r70
+            stats["num_gt"] += m
+            stats["num_proposals"].append(n_valid)
+            stats["iou2d"].extend(iou2ds.tolist())
+            stats["iou3d"].extend(iou3ds.tolist())
+            if "seg_accuracy" in preds:
+                stats["seg_acc"].append(float(preds["seg_accuracy"]))
+
+            if self.save_rpn_feature:
+                arr = np.hstack(
+                    [
+                        preds["rpn_pts"][0],
+                        preds["rpn_intensity"][0].reshape(-1, 1),
+                        preds["foreground_mask"][0].reshape(-1, 1).astype(np.float32),
+                        preds["rpn_fts"][0],
+                        preds["rpn_img_fts"][0],
+                    ]
+                )
+                np.save(os.path.join(feat_dir, name + ".npy"), arr)
+
+        summary = {
+            "global_step": int(global_step),
+            "avg_seg_acc": float(np.mean(stats["seg_acc"])) if stats["seg_acc"] else 0.0,
+            "recall_50": stats["recall_50"] / max(stats["num_gt"], 1),
+            "recall_70": stats["recall_70"] / max(stats["num_gt"], 1),
+            "avg_num_proposals": float(np.mean(stats["num_proposals"])),
+            "avg_iou2d": float(np.mean(stats["iou2d"])) if stats["iou2d"] else 0.0,
+            "avg_iou3d": float(np.mean(stats["iou3d"])) if stats["iou3d"] else 0.0,
+            "avg_inference_time": float(np.mean(infer_times)),
+        }
+        _append_csv(
+            os.path.join(self.logs_dir, "rpn_total_recall.csv"),
+            list(summary.keys()),
+            list(summary.values()),
+        )
+        return summary
+
+
+class RcnnEvaluator:
+    """Stage-2 evaluator: final predictions + KITTI-format conversion."""
+
+    def __init__(self, model, dataset, pipeline_cfg, output_root: str):
+        self.model = model
+        self.dataset = dataset
+        self.cfg = pipeline_cfg
+        name = pipeline_cfg.model_config.checkpoint_name
+        self.predictions_dir = os.path.join(output_root, name, "predictions")
+        self.logs_dir = os.path.join(output_root, name, "logs")
+        os.makedirs(self.predictions_dir, exist_ok=True)
+        os.makedirs(self.logs_dir, exist_ok=True)
+
+        self._apply = jax.jit(
+            lambda variables, *args: model.apply(variables, *args, training=False)
+        )
+
+    def run_checkpoint_once(
+        self, variables, global_step, num_rois: int = 100
+    ) -> dict:
+        ds = self.dataset
+        ic = self.cfg.model_config.input_config
+        split = ds.data_split
+        final_dir = os.path.join(
+            self.predictions_dir,
+            "final_predictions_and_scores",
+            split,
+            str(global_step),
+        )
+        os.makedirs(final_dir, exist_ok=True)
+
+        infer_times = []
+        ds._index_in_epoch = 0
+        epoch0 = ds.epochs_completed
+        while ds.epochs_completed == epoch0:
+            batch, names = ds.next_batch(
+                1,
+                shuffle=False,
+                model="rcnn",
+                img_w=ic.img_dims_w,
+                img_h=ic.img_dims_h,
+                num_rois=num_rois,
+            )
+            t0 = time.time()
+            preds = self._apply(
+                variables,
+                batch["rpn_roi"],
+                batch["rpn_iou"],
+                batch["rpn_gt"],
+                batch["rpn_pts"],
+                batch["rpn_intensity"],
+                batch["rpn_fg_mask"],
+                batch["rpn_fts"],
+                batch["image_input"],
+                batch["stereo_calib_p2"],
+            )
+            preds = jax.device_get(preds)
+            infer_times.append(time.time() - t0)
+
+            name = names[0]
+            n_valid = int(preds["num_boxes_before_padding"][0])
+            boxes = preds["final_boxes"][0][:n_valid]
+            scores = preds["final_scores"][0][:n_valid]
+            types = preds["final_classes"][0][:n_valid]
+
+            # Dedup (NMS padding may duplicate boxes — reference
+            # save_rcnn_predicted_boxes_3d_and_scores :1104-1108).
+            boxes, uniq = np.unique(boxes, axis=0, return_index=True)
+            scores = scores[uniq]
+            types = types[uniq]
+            order = np.argsort(-scores)
+            rows = np.column_stack([boxes, scores, types])[order]
+            np.savetxt(os.path.join(final_dir, name + ".txt"), rows, fmt="%.5f")
+
+        kitti_dir = save_predictions_in_kitti_format(
+            ds,
+            self.predictions_dir,
+            self.cfg.eval_config.kitti_score_threshold,
+            global_step,
+        )
+        summary = {
+            "global_step": int(global_step),
+            "avg_inference_time": float(np.mean(infer_times)),
+            "kitti_predictions_dir": kitti_dir,
+        }
+        _append_csv(
+            os.path.join(self.logs_dir, "rcnn_eval.csv"),
+            ["global_step", "avg_inference_time"],
+            [summary["global_step"], summary["avg_inference_time"]],
+        )
+        return summary
+
+
+def evaluated_steps(logs_dir: str, csv_name: str):
+    """Steps already present in the metrics ledger (the reference's
+    skip_evaluated_checkpoints behavior, evaluator.py:835-872)."""
+    path = os.path.join(logs_dir, csv_name)
+    if not os.path.exists(path):
+        return set()
+    with open(path) as f:
+        rows = list(csv.reader(f))
+    return {int(float(r[0])) for r in rows[1:] if r}
+
+
+def repeated_checkpoint_run(
+    evaluator,
+    ckpt_manager,
+    make_variables,
+    csv_name: str,
+    interval_secs: float = 30.0,
+    max_wait_secs: float = 3600.0,
+    stop_at_step: Optional[int] = None,
+):
+    """Watch the checkpoint dir, evaluating each new step once
+    (evaluator.py:435-502)."""
+    waited = 0.0
+    while True:
+        done = evaluated_steps(evaluator.logs_dir, csv_name)
+        todo = [s for s in ckpt_manager.all_steps() if s not in done]
+        for step in todo:
+            variables = make_variables(step)
+            evaluator.run_checkpoint_once(variables, step)
+        if todo:
+            waited = 0.0
+        if stop_at_step is not None and stop_at_step in (
+            evaluated_steps(evaluator.logs_dir, csv_name)
+        ):
+            return
+        waited += interval_secs
+        if waited > max_wait_secs:
+            return
+        time.sleep(interval_secs)

@@ -1,0 +1,177 @@
+"""Training loop (parity with hf/core/trainer.py).
+
+Replaces the session/feed_dict loop with a jitted train step over a data
+mesh. Keeps the reference's external behaviors: output tree
+<output_root>/<checkpoint_name>/{checkpoints,logs,predictions}, config
+snapshot at start, resume-from-latest, checkpoint every
+`checkpoint_interval`, per-`summary_interval` metric logging, iteration
+budget divided by world size, LR scaled by world size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from heterofusionrcnn_tpu.configs.config import PipelineConfig, save_config
+from heterofusionrcnn_tpu.parallel.mesh import (
+    make_data_mesh,
+    replicate_state,
+    shard_batch,
+)
+from heterofusionrcnn_tpu.runtime.checkpoint import CheckpointManager
+from heterofusionrcnn_tpu.runtime.optimizer import build_optimizer
+from heterofusionrcnn_tpu.runtime.train_state import TrainState
+
+
+class MetricsLogger:
+    """Scalar logging: TensorBoard (via torch.utils.tensorboard) when
+    available, always a JSONL file (the reference's three channels were
+    TB summaries + CSVs + stdout, SURVEY.md §5)."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(log_dir)
+        except Exception:
+            pass
+
+    def log(self, step: int, metrics: dict) -> None:
+        record = {"step": int(step)}
+        for k, v in metrics.items():
+            record[k] = float(v)
+        self._jsonl.write(json.dumps(record) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            for k, v in record.items():
+                if k != "step":
+                    self._tb.add_scalar(k, v, step)
+
+    def close(self):
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def setup_output_dirs(output_root: str, checkpoint_name: str):
+    """<root>/<name>/{checkpoints,logs,predictions}
+    (config_builder_util.py:78-92)."""
+    base = os.path.join(output_root, checkpoint_name)
+    paths = {
+        "base": base,
+        "checkpoints": os.path.join(base, "checkpoints"),
+        "logs": os.path.join(base, "logs"),
+        "predictions": os.path.join(base, "predictions"),
+    }
+    for p in paths.values():
+        os.makedirs(p, exist_ok=True)
+    return paths
+
+
+def train(
+    model,
+    loss_fn: Callable,
+    make_train_step: Callable,
+    init_batch: dict,
+    next_batch: Callable[[], dict],
+    pipeline_cfg: PipelineConfig,
+    output_root: str,
+    num_devices: Optional[int] = None,
+    seed: int = 0,
+    init_params_from=None,
+    init_rngs: Optional[dict] = None,
+    log_every_steps: Optional[int] = None,
+):
+    """Generic two-stage trainer.
+
+    Args:
+      model: flax module with .init/.apply.
+      loss_fn: predictions -> (loss_dict, total).
+      make_train_step: loss_fn -> jitted step(state, batch, rng).
+      init_batch: one host batch used for parameter init shapes.
+      next_batch: callable yielding successive host batches.
+      pipeline_cfg: full pipeline config (train_config drives the loop).
+      output_root: outputs root directory.
+      num_devices: data-parallel world size (defaults to all).
+      init_params_from: optional params pytree for warm start
+        (RPN->RCNN transfer via checkpoint.restore_matching).
+    Returns:
+      final TrainState.
+    """
+    tc = pipeline_cfg.train_config
+    name = pipeline_cfg.model_config.checkpoint_name
+    paths = setup_output_dirs(output_root, name)
+    save_config(pipeline_cfg, os.path.join(paths["base"], name + "_config.json"))
+
+    mesh = make_data_mesh(num_devices)
+    world = mesh.devices.size
+
+    rngs = init_rngs or {
+        "params": jax.random.PRNGKey(seed),
+        "dropout": jax.random.PRNGKey(seed + 1),
+        "path_drop": jax.random.PRNGKey(seed + 2),
+    }
+    variables = model.init(rngs, *init_batch.values(), training=False)
+    params = variables["params"]
+    if init_params_from is not None:
+        from heterofusionrcnn_tpu.runtime.checkpoint import restore_matching
+
+        params = restore_matching(params, init_params_from)
+
+    tx = build_optimizer(
+        tc.optimizer, world_size=world, grad_clip_norm=tc.grad_clip_norm
+    )
+    state = TrainState.create(
+        model.apply, params, variables.get("batch_stats", {}), tx
+    )
+
+    ckpt = CheckpointManager(paths["checkpoints"], tc.max_checkpoints_to_keep)
+    if not tc.overwrite_checkpoints and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"Resumed from step {int(state.step)}")
+
+    state = replicate_state(state, mesh)
+    train_step = make_train_step(loss_fn)
+    logger = MetricsLogger(paths["logs"])
+    log_every = log_every_steps or tc.summary_interval
+
+    # Iteration budget divided by world size (trainer.py:146-152).
+    max_iters = tc.max_iterations // world
+    rng = jax.random.PRNGKey(seed + 100)
+
+    step = int(state.step)
+    t_last = time.time()
+    while step < max_iters:
+        batch = next_batch()
+        batch = shard_batch(batch, mesh)
+        state, metrics, rng = train_step(state, batch, rng)
+        step = int(state.step)
+
+        if step % log_every == 0:
+            dt = time.time() - t_last
+            t_last = time.time()
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            host_metrics["steps_per_sec"] = log_every / max(dt, 1e-9)
+            logger.log(step, host_metrics)
+            print(
+                f"step {step}/{max_iters} "
+                + " ".join(f"{k}={v:.4f}" for k, v in host_metrics.items())
+            )
+
+        if step % tc.checkpoint_interval == 0 or step == max_iters:
+            ckpt.save(step, jax.device_get(state))
+
+    if step % tc.checkpoint_interval != 0:
+        ckpt.save(step, jax.device_get(state))
+    logger.close()
+    ckpt.close()
+    return state
