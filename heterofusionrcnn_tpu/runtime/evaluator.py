@@ -256,6 +256,22 @@ class RcnnEvaluator:
             "avg_inference_time": float(np.mean(infer_times)),
             "kitti_predictions_dir": kitti_dir,
         }
+
+        # Offline AP via the native C++ evaluator (reference
+        # run_kitti_native_eval, evaluator.py:1152-1192).
+        if ds.has_labels:
+            import json
+
+            from heterofusionrcnn_tpu.runtime.native_eval import (
+                run_kitti_native_eval,
+            )
+
+            aps = run_kitti_native_eval(ds.label_dir, kitti_dir)
+            with open(
+                os.path.join(os.path.dirname(kitti_dir), "ap_summary.json"), "w"
+            ) as f:
+                json.dump({k: list(v) for k, v in aps.items()}, f, indent=2)
+            summary["ap"] = aps
         _append_csv(
             os.path.join(self.logs_dir, "rcnn_eval.csv"),
             ["global_step", "avg_inference_time"],
