@@ -64,14 +64,20 @@ def main():
         batch["stereo_calib_p2"],
     )
 
+    def sync(out):
+        # NOTE: on the tunneled axon TPU platform block_until_ready() is
+        # unreliable (returns before compute completes); force a device->host
+        # transfer of one scalar instead.
+        return float(jax.numpy.ravel(out["proposal_scores"])[0])
+
     for _ in range(WARMUP):
         out = infer(*args)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+    sync(out)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = infer(*args)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+        sync(out)
     dt = time.perf_counter() - t0
 
     fps = BATCH * ITERS / dt

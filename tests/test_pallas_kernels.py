@@ -1,0 +1,68 @@
+"""Pallas kernel correctness vs the XLA formulations (runs interpreted on
+CPU; on TPU the same tests exercise the compiled kernels)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from heterofusionrcnn_tpu.ops.grouping import knn_point, pairwise_sqdist
+from heterofusionrcnn_tpu.ops.pallas_fps import farthest_point_sample_pallas
+from heterofusionrcnn_tpu.ops.pallas_knn import knn_pallas
+from tests import oracles
+
+
+def test_pallas_knn_matches_xla():
+    rng = np.random.default_rng(0)
+    xyz = jnp.asarray(rng.uniform(-40, 40, (2, 2048, 3)).astype(np.float32))
+    q = xyz[:, :256]
+    d1, i1 = knn_pallas(8, xyz, q)
+    # Reference: brute-force numpy (avoids XLA's cancellation-prone |a|2+|b|2
+    # distance form).
+    for b in range(2):
+        full = np.sum(
+            (np.asarray(q)[b][:, None] - np.asarray(xyz)[b][None]) ** 2, axis=-1
+        )
+        order = np.argsort(full, axis=1, kind="stable")[:, :8]
+        np.testing.assert_array_equal(np.asarray(i1)[b], order)
+        np.testing.assert_allclose(
+            np.asarray(d1)[b],
+            np.take_along_axis(full, order, 1),
+            rtol=1e-4, atol=1e-3,
+        )
+
+
+def test_pallas_knn_ascending_and_k_variants():
+    rng = np.random.default_rng(1)
+    xyz = jnp.asarray(rng.uniform(-5, 5, (1, 2048, 3)).astype(np.float32))
+    q = xyz[:, :256]
+    for k in (1, 4, 16):
+        d, i = knn_pallas(k, xyz, q)
+        assert d.shape == (1, 256, k)
+        dn = np.asarray(d)
+        assert (np.diff(dn, axis=-1) >= -1e-6).all()
+        # First neighbor of a query that IS a source point: itself, dist 0.
+        np.testing.assert_array_equal(np.asarray(i)[0, :, 0], np.arange(256))
+
+
+def test_pallas_fps_matches_oracle():
+    rng = np.random.default_rng(2)
+    xyz = jnp.asarray(rng.uniform(-10, 10, (2, 256, 3)).astype(np.float32))
+    idx = np.asarray(farthest_point_sample_pallas(xyz, 32))
+    for b in range(2):
+        want = oracles.fps_np(np.asarray(xyz)[b], 32)
+        np.testing.assert_array_equal(idx[b], want)
+
+
+def test_dispatch_cpu_fallback():
+    """On CPU, knn_point/farthest_point_sample use the XLA path (shapes that
+    would hit Pallas on TPU)."""
+    from heterofusionrcnn_tpu.ops.sampling import farthest_point_sample
+
+    rng = np.random.default_rng(3)
+    xyz = jnp.asarray(rng.uniform(-5, 5, (1, 2048, 3)).astype(np.float32))
+    idx = farthest_point_sample(xyz, 16)
+    assert idx.shape == (1, 16)
+    d, i = knn_point(4, xyz, xyz[:, :256])
+    assert i.shape == (1, 256, 4)
