@@ -53,7 +53,7 @@ def _block_greedy(iou_cc, cand_valid, thresh):
     return keep
 
 
-@functools.partial(jax.jit, static_argnames=("max_keep",))
+@functools.partial(jax.jit, static_argnames=("max_keep", "iou_thresh"))
 def oriented_nms(
     bev_boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -75,6 +75,17 @@ def oriented_nms(
       keep_valid: (max_keep,) bool.
     """
     n = bev_boxes.shape[0]
+
+    # TPU: single fused Pallas kernel (bounded max_keep iterations with all
+    # state in VMEM — immune to the blocked version's many-round worst case
+    # on heavily overlapping candidates).
+    if jax.default_backend() == "tpu":
+        from heterofusionrcnn_tpu.ops.pallas_nms import oriented_nms_pallas
+
+        return oriented_nms_pallas(
+            bev_boxes, scores, float(iou_thresh), max_keep, valid_mask
+        )
+
     block = min(_BLOCK, n)
     order = jnp.argsort(-scores, stable=True)
     sboxes = bev_boxes[order]
