@@ -29,8 +29,16 @@ from heterofusionrcnn_tpu.models.extractors.layers import (
     DepthwiseConvOverK,
     SeparableConvOverK,
 )
-from heterofusionrcnn_tpu.ops.grouping import group_point, knn_point
-from heterofusionrcnn_tpu.ops.sampling import farthest_point_sample, gather_point
+from heterofusionrcnn_tpu.ops.grouping import (
+    group_point,
+    knn_point,
+    sort_neighbor_indices,
+)
+from heterofusionrcnn_tpu.ops.sampling import (
+    farthest_point_sample,
+    gather_point,
+    inverse_density_sampling,
+)
 
 
 class XConv(nn.Module):
@@ -43,6 +51,7 @@ class XConv(nn.Module):
     depth_multiplier: int
     with_X_transformation: bool = True
     with_global: bool = False
+    sorting_method: str = ""
 
     @nn.compact
     def __call__(self, pts, fts, qrs, training: bool):
@@ -58,6 +67,8 @@ class XConv(nn.Module):
         _, idx = knn_point(k_total, pts, qrs)  # ascending by distance
         if self.D > 1:
             idx = idx[:, :, :: self.D]  # dilation (reference :74-75)
+        if self.sorting_method:
+            idx = sort_neighbor_indices(pts, idx, self.sorting_method)
 
         nn_pts = group_point(pts, idx)  # (B, P, K, 3)
         nn_pts_local = nn_pts - qrs[:, :, None, :]
@@ -130,6 +141,11 @@ class PointCNN(nn.Module):
             elif cfg.sampling == "fps":
                 fps_idx = farthest_point_sample(pts, p_target)
                 qrs = gather_point(pts, fps_idx)
+            elif cfg.sampling == "ids":
+                ids_idx = inverse_density_sampling(
+                    self.make_rng("sampling"), pts, lp.K, p_target
+                )
+                qrs = gather_point(pts, ids_idx)
             elif cfg.sampling == "random":
                 qrs = pts[:, :p_target]
             else:
@@ -154,6 +170,7 @@ class PointCNN(nn.Module):
                 depth_multiplier=depth_multiplier,
                 with_X_transformation=cfg.with_X_transformation,
                 with_global=with_global,
+                sorting_method=cfg.sorting_method,
                 name=tag,
             )(pts, fts, qrs, training)
             layer_fts.append(out)
@@ -180,6 +197,7 @@ class PointCNN(nn.Module):
                 depth_multiplier=1,
                 with_X_transformation=cfg.with_X_transformation,
                 with_global=False,
+                sorting_method=cfg.sorting_method,
                 name=tag,
             )(pts, fts, qrs, training)
             fused = jnp.concatenate([out, fts_qrs], axis=-1)

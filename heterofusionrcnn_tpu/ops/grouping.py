@@ -145,6 +145,56 @@ def knn_point(
     return jnp.concatenate(list(d), axis=1), jnp.concatenate(list(idx), axis=1)
 
 
+def sort_neighbor_indices(
+    points: jnp.ndarray, idx: jnp.ndarray, sorting_method: str
+) -> jnp.ndarray:
+    """Sort each neighborhood's indices for "sorted conv"
+    (pointfly.sort_points :217-262).
+
+    Methods: 'l2' (descending distance from the neighborhood centroid) or
+    'c<perm of xyz>' (lexicographic by normalized coords with 100^i scaling,
+    first neighbor pinned).
+
+    Args:
+      points: (B, N, 3); idx: (B, P, K) neighbor indices.
+    Returns:
+      (B, P, K) sorted indices.
+    """
+    nn_pts = group_point(points, idx)  # (B, P, K, 3)
+    b, p, k = idx.shape
+
+    if sorting_method.startswith("c"):
+        perm = sorting_method[1:]
+        if "".join(sorted(perm)) != "xyz":
+            raise ValueError(f"unknown sorting method {sorting_method}")
+        eps = 1e-8
+        mn = jnp.min(nn_pts, axis=2, keepdims=True)
+        mx = jnp.max(nn_pts, axis=2, keepdims=True)
+        normed = (nn_pts - mn) / (mx - mn + eps)
+        scaling = jnp.asarray(
+            [
+                100.0 ** (3 - perm.find("x")),
+                100.0 ** (3 - perm.find("y")),
+                100.0 ** (3 - perm.find("z")),
+            ],
+            nn_pts.dtype,
+        )
+        key = jnp.sum(normed * scaling, axis=-1)  # (B, P, K)
+        # First (nearest) neighbor stays first (reference zeroes slot 0).
+        key = jnp.concatenate(
+            [jnp.zeros((b, p, 1), key.dtype), key[:, :, 1:]], axis=-1
+        )
+    elif sorting_method == "l2":
+        center = jnp.mean(nn_pts, axis=2, keepdims=True)
+        key = jnp.linalg.norm(nn_pts - center, axis=-1)
+    else:
+        raise ValueError(f"unknown sorting method {sorting_method}")
+
+    # tf.nn.top_k sorts descending.
+    _, order = jax.lax.top_k(key, k)
+    return jnp.take_along_axis(idx, order, axis=-1)
+
+
 def group_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather neighborhoods (grouping group_point): (B, N, C) x (B, P, S)
     -> (B, P, S, C). Differentiable (XLA gather; grad is scatter-add, same as

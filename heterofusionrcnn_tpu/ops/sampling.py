@@ -70,6 +70,32 @@ def gather_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(points, idx[..., None], axis=-2)
 
 
+def inverse_density_sampling(
+    rng_key, points: jnp.ndarray, k: int, sample_num: int
+) -> jnp.ndarray:
+    """Inverse-density point sampling (pointfly.inverse_density_sampling
+    :355-368): sampling probability proportional to the mean distance to the
+    k nearest neighbors, without replacement (Gumbel top-k instead of the
+    reference's tf.py_func np.random.choice).
+
+    Args:
+      rng_key: jax PRNG key.
+      points: (B, N, 3).
+    Returns:
+      (B, sample_num) int32 indices.
+    """
+    from heterofusionrcnn_tpu.ops.grouping import knn_point
+
+    d, _ = knn_point(k, points, points)  # (B, N, k), squared, ascending
+    avg = jnp.abs(jnp.mean(d, axis=-1)) + 1e-8  # (B, N)
+    logp = jnp.log(avg / jnp.sum(avg, axis=-1, keepdims=True))
+    gumbel = -jnp.log(
+        -jnp.log(jax.random.uniform(rng_key, logp.shape) + 1e-20) + 1e-20
+    )
+    _, idx = jax.lax.top_k(logp + gumbel, sample_num)
+    return idx.astype(jnp.int32)
+
+
 def prob_sample(cdf: jnp.ndarray, uniforms: jnp.ndarray) -> jnp.ndarray:
     """Inverse-CDF multinomial sampling (sampling/tf_sampling_g.cu:7-103).
 
