@@ -7,6 +7,8 @@ vectorized numpy, explicit RNG.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from heterofusionrcnn_tpu.datasets.kitti import calib as calib_io
@@ -17,12 +19,26 @@ def get_lidar_point_cloud(
 ) -> np.ndarray:
     """Velodyne -> rect-frame points, optionally frustum-filtered to the image.
 
+    Uses the native C++ loader (fused decode+transform+filter) when built;
+    numpy fallback otherwise — identical outputs.
+
     Args:
       im_size: (w, h) or None.
     Returns:
       (N, 4) [x, y, z, intensity] in rect cam frame.
     """
     calib = calib_io.read_calibration(calib_dir, img_idx)
+
+    if im_size is not None:
+        from heterofusionrcnn_tpu.datasets.kitti.native_loader import (
+            load_and_filter_native,
+        )
+
+        native = load_and_filter_native(
+            os.path.join(velo_dir, "%06d.bin" % img_idx), calib, im_size
+        )
+        if native is not None:
+            return native
     xyzi = calib_io.read_lidar(velo_dir, img_idx)
     pts = calib_io.lidar_to_cam_frame(xyzi[:, :3], calib)
     intensity = xyzi[:, 3]
