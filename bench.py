@@ -41,12 +41,14 @@ def main():
     rng = np.random.default_rng(0)
     batch = _random_rpn_batch(cfg, BATCH, rng)
 
-    variables = model.init(
+    init_fn = jax.jit(
+        lambda rngs, pc, img, p2: model.init(rngs, pc, img, p2, training=False)
+    )
+    variables = init_fn(
         {"params": jax.random.PRNGKey(0)},
         batch["point_cloud"][:1],
         batch["image_input"][:1],
         batch["stereo_calib_p2"][:1],
-        training=False,
     )
 
     @jax.jit
@@ -74,9 +76,11 @@ def main():
         out = infer(*args)
     sync(out)
 
+    # Throughput: queue all iterations, sync once at the end (per-iteration
+    # syncs would serialize a ~30ms tunnel round-trip into every step).
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = infer(*args)
+    outs = [infer(*args) for _ in range(ITERS)]
+    for out in outs:
         sync(out)
     dt = time.perf_counter() - t0
 

@@ -45,12 +45,14 @@ from heterofusionrcnn_tpu.ops.nms import oriented_nms_boxes_3d
 
 
 def _take_class_n(x, cls):
-    """Gather class channel: x (N, K, ...) by cls (N,) -> (N, ...)."""
-    cls_idx = cls[:, None]
-    while cls_idx.ndim < x.ndim:
-        cls_idx = cls_idx[..., None]
-    cls_idx = jnp.broadcast_to(cls_idx, (x.shape[0], 1) + x.shape[2:])
-    return jnp.take_along_axis(x, cls_idx, axis=1).squeeze(1)
+    """Select class channel: x (N, K, ...) by cls (N,) -> (N, ...).
+
+    One-hot contraction (K = 3) — minor-dim gathers are slow on TPU."""
+    k = x.shape[1]
+    oh = jax.nn.one_hot(cls, k, dtype=x.dtype)  # (N, K)
+    while oh.ndim < x.ndim:
+        oh = oh[..., None]
+    return jnp.sum(x * oh, axis=1)
 
 
 class RcnnModel(nn.Module):

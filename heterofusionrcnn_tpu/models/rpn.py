@@ -60,17 +60,27 @@ def create_path_drop_masks(p_img, p_pc, random_values):
 
 
 def _take_class(x, cls):
-    """Gather the class channel: x (B, P, K, ...) by cls (B, P) -> (B, P, ...)."""
-    cls_idx = cls[..., None]
-    while cls_idx.ndim < x.ndim:
-        cls_idx = cls_idx[..., None]
-    cls_idx = jnp.broadcast_to(cls_idx, x.shape[:2] + (1,) + x.shape[3:])
-    return jnp.take_along_axis(x, cls_idx, axis=2).squeeze(2)
+    """Select the class channel: x (B, P, K, ...) by cls (B, P) -> (B, P, ...).
+
+    One-hot contraction instead of take_along_axis — scalar gathers on minor
+    dimensions are slow on TPU, while a K-way select is a few vector ops.
+    """
+    k = x.shape[2]
+    onehot = jax.nn.one_hot(cls, k, dtype=x.dtype)  # (B, P, K)
+    oh = onehot
+    while oh.ndim < x.ndim:
+        oh = oh[..., None]
+    return jnp.sum(x * oh, axis=2)
 
 
 def _take_bin(x, bins):
-    """Gather the chosen bin: x (B, P, C) by bins (B, P) -> (B, P)."""
-    return jnp.take_along_axis(x, bins[..., None], axis=-1).squeeze(-1)
+    """Select the chosen bin: x (..., C) by bins (...) -> (...).
+
+    One-hot contraction (C <= 12 here) — avoids minor-dim gathers on TPU.
+    """
+    c = x.shape[-1]
+    onehot = jax.nn.one_hot(bins, c, dtype=x.dtype)
+    return jnp.sum(x * onehot, axis=-1)
 
 
 class RpnModel(nn.Module):
@@ -134,10 +144,14 @@ class RpnModel(nn.Module):
         # (reference :227-235). Clip to the image for safety (the frustum
         # filter guarantees in-bounds at load time).
         proj = rect_to_image(pc_pts_out, calib_p2)
-        u = jnp.clip(proj[..., 0].astype(jnp.int32), 0, img_input.shape[2] - 1)
-        v = jnp.clip(proj[..., 1].astype(jnp.int32), 0, img_input.shape[1] - 1)
-        batch_idx = jnp.arange(B)[:, None]
-        proj_img_fts = img_fts[batch_idx, v, u]  # (B, P, C1)
+        H, W = img_input.shape[1], img_input.shape[2]
+        u = jnp.clip(proj[..., 0].astype(jnp.int32), 0, W - 1)
+        v = jnp.clip(proj[..., 1].astype(jnp.int32), 0, H - 1)
+        # Flat row gather (leading-axis gathers lower much better on TPU
+        # than multi-axis indexing).
+        flat = img_fts.reshape(B * H * W, -1)
+        rows = (jnp.arange(B)[:, None] * (H * W) + v * W + u).reshape(-1)
+        proj_img_fts = flat[rows].reshape(B, P, -1)  # (B, P, C1)
 
         # ---------------- segmentation head ---------------- #
         seg_logits = DenseBN(

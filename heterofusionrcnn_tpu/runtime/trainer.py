@@ -120,7 +120,12 @@ def train(
         "dropout": jax.random.PRNGKey(seed + 1),
         "path_drop": jax.random.PRNGKey(seed + 2),
     }
-    variables = model.init(rngs, *init_batch.values(), training=False)
+    # jit the init: eager init dispatches op-by-op (catastrophically slow
+    # over remote TPU transports).
+    init_fn = jax.jit(
+        lambda rngs, *args: model.init(rngs, *args, training=False)
+    )
+    variables = init_fn(rngs, *init_batch.values())
     params = variables["params"]
     if init_params_from is not None:
         from heterofusionrcnn_tpu.runtime.checkpoint import restore_matching
