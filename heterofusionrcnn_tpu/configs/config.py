@@ -115,13 +115,20 @@ class PointCNNConfig:
 
 @dataclass
 class SAModuleConfig:
-    """layers.proto pc_pointnet SA module: one set-abstraction level."""
+    """layers.proto pc_pointnet SA module: one set-abstraction level.
+
+    With `use_msg`, the multi-scale-grouping variant runs one branch per
+    (radii[i], nsamples[i], mlps[i]) and concatenates."""
 
     npoint: int = 1024
     radius: float = 1.0
     nsample: int = 32
     mlp: List[int] = field(default_factory=lambda: [64, 64, 128])
     use_knn: bool = False
+    use_msg: bool = False
+    radii: List[float] = field(default_factory=list)
+    nsamples: List[int] = field(default_factory=list)
+    mlps: List[List[int]] = field(default_factory=list)
 
 
 @dataclass

@@ -75,6 +75,38 @@ class SAModule(nn.Module):
         return new_xyz, jnp.max(out, axis=2)
 
 
+class SAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction (reference
+    pointnet_sa_module_msg :223-286): several (radius, nsample, mlp) branches
+    over the same FPS centers, concatenated."""
+
+    npoint: int
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+
+    @nn.compact
+    def __call__(self, xyz, features, training: bool):
+        fps_idx = farthest_point_sample(xyz, self.npoint)
+        new_xyz = gather_point(xyz, fps_idx)
+
+        outs = []
+        for i, (radius, nsample, mlp) in enumerate(
+            zip(self.radii, self.nsamples, self.mlps)
+        ):
+            idx, _ = query_ball_point(radius, nsample, xyz, new_xyz)
+            grouped_xyz = group_point(xyz, idx) - new_xyz[:, :, None, :]
+            if features is not None:
+                grouped = jnp.concatenate(
+                    [grouped_xyz, group_point(features, idx)], axis=-1
+                )
+            else:
+                grouped = grouped_xyz
+            out = SharedMLP(tuple(mlp), name=f"mlp{i}")(grouped, training)
+            outs.append(jnp.max(out, axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
 class FPModule(nn.Module):
     """Feature propagation (reference pointnet_fp_module :289-330)."""
 
@@ -118,14 +150,23 @@ class PointNet(nn.Module):
         ftss = [features]
 
         for i, sa in enumerate(cfg.sa_modules):
-            xyz, fts = SAModule(
-                npoint=sa.npoint,
-                radius=sa.radius,
-                nsample=sa.nsample,
-                mlp=tuple(sa.mlp),
-                use_knn=sa.use_knn,
-                name=f"sa{i}",
-            )(xyzs[-1], ftss[-1], training)
+            if sa.use_msg:
+                xyz, fts = SAModuleMSG(
+                    npoint=sa.npoint,
+                    radii=tuple(sa.radii),
+                    nsamples=tuple(sa.nsamples),
+                    mlps=tuple(tuple(m) for m in sa.mlps),
+                    name=f"sa{i}",
+                )(xyzs[-1], ftss[-1], training)
+            else:
+                xyz, fts = SAModule(
+                    npoint=sa.npoint,
+                    radius=sa.radius,
+                    nsample=sa.nsample,
+                    mlp=tuple(sa.mlp),
+                    use_knn=sa.use_knn,
+                    name=f"sa{i}",
+                )(xyzs[-1], ftss[-1], training)
             xyzs.append(xyz)
             ftss.append(fts)
 

@@ -121,15 +121,18 @@ def knn_point(
     p = new_xyz.shape[1]
     n = xyz.shape[1]
 
-    if (
-        jax.default_backend() == "tpu"
-        and k <= 16
-        and n % 2048 == 0
-        and p % 256 == 0
-    ):
-        from heterofusionrcnn_tpu.ops.pallas_knn import knn_pallas
+    if jax.default_backend() == "tpu" and k <= 16:
+        from heterofusionrcnn_tpu.ops.pallas_knn import (
+            knn_pallas,
+            supported_candidate_tile,
+            supported_query_tile,
+        )
 
-        return knn_pallas(k, xyz, new_xyz)
+        if (
+            supported_candidate_tile(n) is not None
+            and supported_query_tile(p) is not None
+        ):
+            return knn_pallas(k, xyz, new_xyz)
 
     def per_chunk(q):
         d = pairwise_sqdist(q, xyz)

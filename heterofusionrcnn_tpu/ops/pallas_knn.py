@@ -21,13 +21,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TILE_Q = 256      # queries per program
-_TILE_N = 2048     # candidate points per inner step
-
 _BIG = 3.4e38
 
 
-def _knn_kernel(q_ref, px_ref, out_d_ref, out_i_ref, *, k, n_total):
+def _knn_kernel(q_ref, px_ref, out_d_ref, out_i_ref, *, k, n_total,
+                tile_q, tile_n):
     """One program: TILE_Q queries vs all N points.
 
     q_ref:  (TILE_Q, 3) query coordinates.
@@ -39,19 +37,19 @@ def _knn_kernel(q_ref, px_ref, out_d_ref, out_i_ref, *, k, n_total):
     qy = q_ref[:, 1:2]
     qz = q_ref[:, 2:3]
 
-    num_tiles = n_total // _TILE_N
+    num_tiles = n_total // tile_n
 
     def tile_body(t, carry):
         best_d, best_i = carry  # (Q, k) each
-        start = t * _TILE_N
-        px = px_ref[0:1, pl.ds(start, _TILE_N)]  # (1, TN)
-        py = px_ref[1:2, pl.ds(start, _TILE_N)]
-        pz = px_ref[2:3, pl.ds(start, _TILE_N)]
+        start = t * tile_n
+        px = px_ref[0:1, pl.ds(start, tile_n)]  # (1, TN)
+        py = px_ref[1:2, pl.ds(start, tile_n)]
+        pz = px_ref[2:3, pl.ds(start, tile_n)]
         dx = qx - px
         dy = qy - py
         dz = qz - pz
         d = dx * dx + dy * dy + dz * dz  # (Q, TN)
-        col = jax.lax.broadcasted_iota(jnp.int32, (_TILE_Q, _TILE_N), 1) + start
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1) + start
 
         # Fold the tile into the running top-k: k rounds of masked min.
         # Previous best entries participate via comparison against the
@@ -102,12 +100,27 @@ def _knn_kernel(q_ref, px_ref, out_d_ref, out_i_ref, *, k, n_total):
         return best_d, best_i
 
     init = (
-        jnp.full((_TILE_Q, k), _BIG, jnp.float32),
-        jnp.full((_TILE_Q, k), 2**30, jnp.int32),
+        jnp.full((tile_q, k), _BIG, jnp.float32),
+        jnp.full((tile_q, k), 2**30, jnp.int32),
     )
     best_d, best_i = jax.lax.fori_loop(0, num_tiles, tile_body, init)
     out_d_ref[:, :] = best_d
     out_i_ref[:, :] = best_i
+
+
+def supported_candidate_tile(n: int):
+    """Largest supported candidate tile dividing n, or None."""
+    for t in (2048, 512, 128):
+        if n % t == 0:
+            return t
+    return n if n <= 2048 else None
+
+
+def supported_query_tile(p: int):
+    """Query tile: 256 when divisible, else the whole query set if small."""
+    if p % 256 == 0:
+        return 256
+    return p if p <= 512 else None
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -116,17 +129,21 @@ def knn_pallas(k: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray):
 
     Args:
       k: neighbors (<= 16).
-      xyz: (B, N, 3) candidate points; N multiple of 2048.
-      new_xyz: (B, P, 3) query points; P multiple of 256.
+      xyz: (B, N, 3) candidate points; N a multiple of a supported tile
+        (2048/512/128) or small.
+      new_xyz: (B, P, 3) query points; P a multiple of the query tile.
     Returns:
       dists (B, P, k) ascending squared distances; idx (B, P, k) int32.
     """
     b, n, _ = xyz.shape
     p = new_xyz.shape[1]
-    assert n % _TILE_N == 0, (n, _TILE_N)
-    assert p % _TILE_Q == 0, (p, _TILE_Q)
+    tile_n = supported_candidate_tile(n)
+    tile_q = supported_query_tile(p)
+    assert tile_n is not None and tile_q is not None, (n, p)
 
-    kernel = functools.partial(_knn_kernel, k=k, n_total=n)
+    kernel = functools.partial(
+        _knn_kernel, k=k, n_total=n, tile_q=tile_q, tile_n=tile_n
+    )
 
     interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
 
@@ -134,19 +151,19 @@ def knn_pallas(k: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray):
         return pl.pallas_call(
             kernel,
             interpret=interpret,
-            grid=(p // _TILE_Q,),
+            grid=(p // tile_q,),
             in_specs=[
                 pl.BlockSpec(
-                    (_TILE_Q, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
+                    (tile_q, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec(
-                    (_TILE_Q, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+                    (tile_q, k), lambda i: (i, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (_TILE_Q, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+                    (tile_q, k), lambda i: (i, 0), memory_space=pltpu.VMEM
                 ),
             ],
             out_shape=[

@@ -99,6 +99,10 @@ class RpnEvaluator:
                 img_w=ic.img_dims_w,
                 img_h=ic.img_dims_h,
             )
+            # Crude resumability (evaluator.py:218-231): skip samples whose
+            # output already exists from an interrupted run.
+            if os.path.exists(os.path.join(prop_dir, names[0] + ".txt")):
+                continue
             t0 = time.time()
             preds = self._apply(
                 variables,
@@ -214,6 +218,8 @@ class RcnnEvaluator:
                 img_h=ic.img_dims_h,
                 num_rois=num_rois,
             )
+            if os.path.exists(os.path.join(final_dir, names[0] + ".txt")):
+                continue
             t0 = time.time()
             preds = self._apply(
                 variables,
