@@ -51,16 +51,20 @@ def _knn_kernel(q_ref, px_ref, out_d_ref, out_i_ref, *, k, n_total,
         d = dx * dx + dy * dy + dz * dz  # (Q, TN)
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1) + start
 
-        # Fold the tile into the running top-k: k rounds of masked min.
-        # Previous best entries participate via comparison against the
-        # current minimum of the tile.
-        def select_round(j, state):
-            d_work, col_work, best_d, best_i = state
-            tile_min = jnp.min(d_work, axis=1, keepdims=True)  # (Q, 1)
-            # index of that min (first occurrence = lowest index)
-            is_min = d_work == tile_min
-            big_i = jnp.where(is_min, col_work, jnp.int32(2**30))
-            tile_arg = jnp.min(big_i, axis=1, keepdims=True)  # (Q, 1)
+        # Fold the tile into the running top-k: k statically-unrolled rounds
+        # of "next (d, col) strictly above the floor" — the tile's distance
+        # block stays read-only (a mutated copy carried through a fori_loop
+        # costs ~2MB of VMEM churn per round), and each round is one masked
+        # min + one masked arg-min.
+        floor_d = jnp.full((tile_q, 1), -1.0, jnp.float32)
+        floor_i = jnp.full((tile_q, 1), -1, jnp.int32)
+        for _round in range(k):
+            above = (d > floor_d) | ((d == floor_d) & (col > floor_i))
+            dm = jnp.where(above, d, _BIG)
+            tile_min = jnp.min(dm, axis=1, keepdims=True)  # (Q, 1)
+            big_i = jnp.where(dm == tile_min, col, jnp.int32(2**30))
+            tile_arg = jnp.min(big_i, axis=1, keepdims=True)
+            floor_d, floor_i = tile_min, tile_arg
 
             # Compare with current k-th best (the worst kept).
             kth_d = best_d[:, k - 1 : k]
@@ -68,13 +72,11 @@ def _knn_kernel(q_ref, px_ref, out_d_ref, out_i_ref, *, k, n_total,
             take = (tile_min < kth_d) | (
                 (tile_min == kth_d) & (tile_arg < kth_i)
             )
-
             new_d = jnp.where(take, tile_min, kth_d)
             new_i = jnp.where(take, tile_arg, kth_i)
 
-            # Insert (new_d, new_i) into the sorted (Q, k) rows: bubble pass
-            # over static column slices, rebuilt by concatenation (Mosaic has
-            # no value-level dynamic_update_slice).
+            # Insert into the sorted (Q, k) rows: bubble pass over static
+            # column slices, rebuilt by concatenation.
             cols_d = []
             cols_i = []
             cur_d, cur_i = new_d, new_i
@@ -86,17 +88,9 @@ def _knn_kernel(q_ref, px_ref, out_d_ref, out_i_ref, *, k, n_total,
                 cols_i.append(jnp.where(swap, cur_i, si))
                 cur_d = jnp.where(swap, sd, cur_d)
                 cur_i = jnp.where(swap, si, cur_i)
-            ins_d = jnp.concatenate(cols_d, axis=1)
-            ins_i = jnp.concatenate(cols_i, axis=1)
+            best_d = jnp.concatenate(cols_d, axis=1)
+            best_i = jnp.concatenate(cols_i, axis=1)
 
-            # Remove the taken candidate from the tile.
-            remove = take & (col_work == tile_arg)
-            d_work = jnp.where(remove, _BIG, d_work)
-            return d_work, col_work, ins_d, ins_i
-
-        _, _, best_d, best_i = jax.lax.fori_loop(
-            0, k, select_round, (d, col, best_d, best_i)
-        )
         return best_d, best_i
 
     init = (
