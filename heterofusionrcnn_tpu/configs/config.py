@@ -202,6 +202,9 @@ class ModelConfig:
     eval_all_samples: bool = False
     layers_config: LayersConfig = field(default_factory=LayersConfig)
     loss_config: LossConfig = field(default_factory=LossConfig)
+    # Computation dtype for extractor/head matmuls and convs ("float32" |
+    # "bfloat16"); parameters and losses stay float32 (mixed precision).
+    compute_dtype: str = "float32"
 
 
 @dataclass

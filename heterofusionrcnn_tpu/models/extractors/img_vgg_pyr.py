@@ -33,6 +33,7 @@ class ImgVggPyr(nn.Module):
     """U-Net-shaped VGG (reference img_vgg_pyramid.py:31-172)."""
 
     config: ImgVggPyrConfig
+    dtype: object = None
 
     @nn.compact
     def __call__(self, image, training: bool):
@@ -46,7 +47,9 @@ class ImgVggPyr(nn.Module):
 
         def block(x, repeats, filters, name):
             for i in range(repeats):
-                x = ConvBNRelu(filters, name=f"{name}_{i + 1}")(x, training)
+                x = ConvBNRelu(filters, dtype=self.dtype, name=f"{name}_{i + 1}")(
+                    x, training
+                )
             return x
 
         conv1 = block(image, *cfg.vgg_conv1, "conv1")
@@ -57,16 +60,22 @@ class ImgVggPyr(nn.Module):
         pool3 = nn.max_pool(conv3, (2, 2), (2, 2))
         conv4 = block(pool3, *cfg.vgg_conv4, "conv4")
 
-        up3 = ConvTransposeBNRelu(cfg.vgg_conv3[1], name="upconv3")(conv4, training)
-        fuse3 = ConvBNRelu(cfg.vgg_conv2[1], name="pyramid_fusion3")(
+        up3 = ConvTransposeBNRelu(cfg.vgg_conv3[1], dtype=self.dtype, name="upconv3")(
+            conv4, training
+        )
+        fuse3 = ConvBNRelu(cfg.vgg_conv2[1], dtype=self.dtype, name="pyramid_fusion3")(
             jnp.concatenate([conv3, up3], axis=3), training
         )
-        up2 = ConvTransposeBNRelu(cfg.vgg_conv2[1], name="upconv2")(fuse3, training)
-        fuse2 = ConvBNRelu(cfg.vgg_conv1[1], name="pyramid_fusion2")(
+        up2 = ConvTransposeBNRelu(cfg.vgg_conv2[1], dtype=self.dtype, name="upconv2")(
+            fuse3, training
+        )
+        fuse2 = ConvBNRelu(cfg.vgg_conv1[1], dtype=self.dtype, name="pyramid_fusion2")(
             jnp.concatenate([conv2, up2], axis=3), training
         )
-        up1 = ConvTransposeBNRelu(cfg.vgg_conv1[1], name="upconv1")(fuse2, training)
-        fuse1 = ConvBNRelu(cfg.vgg_conv1[1], name="pyramid_fusion1")(
+        up1 = ConvTransposeBNRelu(cfg.vgg_conv1[1], dtype=self.dtype, name="upconv1")(
+            fuse2, training
+        )
+        fuse1 = ConvBNRelu(cfg.vgg_conv1[1], dtype=self.dtype, name="pyramid_fusion1")(
             jnp.concatenate([conv1, up1], axis=3), training
         )
         return fuse1

@@ -10,7 +10,7 @@ lowering.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -19,15 +19,24 @@ glorot = nn.initializers.glorot_normal()
 
 
 class DenseBN(nn.Module):
-    """pointfly.dense: Dense -> ELU -> BN (reference pointfly.py:474-497)."""
+    """pointfly.dense: Dense -> ELU -> BN (reference pointfly.py:474-497).
+
+    `dtype` is the computation dtype (params stay float32) — set bfloat16
+    for mixed-precision serving/training."""
 
     features: int
     use_bn: bool = True
     activation: Optional[Callable] = nn.elu
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, training: bool):
-        x = nn.Dense(self.features, use_bias=not self.use_bn, kernel_init=glorot)(x)
+        x = nn.Dense(
+            self.features,
+            use_bias=not self.use_bn,
+            kernel_init=glorot,
+            dtype=self.dtype,
+        )(x)
         if self.activation is not None:
             x = self.activation(x)
         if self.use_bn:
@@ -45,12 +54,15 @@ class ConvOverK(nn.Module):
     features: int
     use_bn: bool = True
     activation: Optional[Callable] = nn.elu
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, training: bool):
         b, p, k, c = x.shape
         x = x.reshape(b, p, k * c)
-        return DenseBN(self.features, self.use_bn, self.activation)(x, training)
+        return DenseBN(self.features, self.use_bn, self.activation, self.dtype)(
+            x, training
+        )
 
 
 class DepthwiseConvOverK(nn.Module):
@@ -63,11 +75,15 @@ class DepthwiseConvOverK(nn.Module):
     depth_multiplier: int
     use_bn: bool = True
     activation: Optional[Callable] = nn.elu
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, training: bool):
         b, p, k, c = x.shape
         w = self.param("depthwise", glorot, (k, c, self.depth_multiplier))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w = w.astype(self.dtype)
         out = jnp.einsum("bpkc,kcj->bpcj", x, w)
         out = out.reshape(b, p, c * self.depth_multiplier)
         if self.activation is not None:
@@ -89,17 +105,24 @@ class SeparableConvOverK(nn.Module):
     depth_multiplier: int = 1
     use_bn: bool = True
     activation: Optional[Callable] = nn.elu
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, training: bool):
         b, p, k, c = x.shape
         w = self.param("depthwise", glorot, (k, c, self.depth_multiplier))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w = w.astype(self.dtype)
         mid = jnp.einsum("bpkc,kcj->bpcj", x, w).reshape(
             b, p, c * self.depth_multiplier
         )
-        out = nn.Dense(self.features, use_bias=not self.use_bn, kernel_init=glorot)(
-            mid
-        )
+        out = nn.Dense(
+            self.features,
+            use_bias=not self.use_bn,
+            kernel_init=glorot,
+            dtype=self.dtype,
+        )(mid)
         if self.activation is not None:
             out = self.activation(out)
         if self.use_bn:
@@ -114,10 +137,14 @@ class ConvBNRelu(nn.Module):
     features: int
     kernel: tuple = (3, 3)
     strides: tuple = (1, 1)
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, training: bool):
-        x = nn.Conv(self.features, self.kernel, self.strides, padding="SAME")(x)
+        x = nn.Conv(
+            self.features, self.kernel, self.strides, padding="SAME",
+            dtype=self.dtype,
+        )(x)
         x = nn.BatchNorm(use_running_average=not training, momentum=0.99)(x)
         return nn.relu(x)
 
@@ -127,9 +154,12 @@ class ConvTransposeBNRelu(nn.Module):
 
     features: int
     kernel: tuple = (3, 3)
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, training: bool):
-        x = nn.ConvTranspose(self.features, self.kernel, (2, 2), padding="SAME")(x)
+        x = nn.ConvTranspose(
+            self.features, self.kernel, (2, 2), padding="SAME", dtype=self.dtype
+        )(x)
         x = nn.BatchNorm(use_running_average=not training, momentum=0.99)(x)
         return nn.relu(x)

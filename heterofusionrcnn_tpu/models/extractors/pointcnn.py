@@ -52,19 +52,26 @@ class XConv(nn.Module):
     with_X_transformation: bool = True
     with_global: bool = False
     sorting_method: str = ""
+    dtype: object = None
 
     @nn.compact
-    def __call__(self, pts, fts, qrs, training: bool):
+    def __call__(self, pts, fts, qrs, training: bool, nn_idx=None):
         """
         Args:
           pts: (B, N, 3) source points.
           fts: (B, N, C_prev) source features or None.
           qrs: (B, P, 3) query points.
+          nn_idx: optional precomputed (B, P, K*D) KNN indices (the encoder
+            caches repeated (pts, qrs) pairs — e.g. the first xconv and the
+            final xdconv query the same 16384-point set).
         Returns:
           (B, P, C) or (B, P, C + C//4) with the global branch.
         """
         k_total = self.K * self.D
-        _, idx = knn_point(k_total, pts, qrs)  # ascending by distance
+        if nn_idx is not None:
+            idx = nn_idx
+        else:
+            _, idx = knn_point(k_total, pts, qrs)  # ascending by distance
         if self.D > 1:
             idx = idx[:, :, :: self.D]  # dilation (reference :74-75)
         if self.sorting_method:
@@ -74,10 +81,12 @@ class XConv(nn.Module):
         nn_pts_local = nn_pts - qrs[:, :, None, :]
 
         # 2) lift points into feature space.
-        f_delta = DenseBN(self.C_pts_fts, name="nn_fts_from_pts_0")(
+        f_delta = DenseBN(self.C_pts_fts, dtype=self.dtype, name="nn_fts_from_pts_0")(
             nn_pts_local, training
         )
-        f_delta = DenseBN(self.C_pts_fts, name="nn_fts_from_pts")(f_delta, training)
+        f_delta = DenseBN(self.C_pts_fts, dtype=self.dtype, name="nn_fts_from_pts")(
+            f_delta, training
+        )
 
         if fts is None:
             nn_fts_input = f_delta
@@ -88,11 +97,15 @@ class XConv(nn.Module):
         if self.with_X_transformation:
             # 4) learn X (K x K) from local coords (reference :108-128).
             b, p = nn_pts_local.shape[:2]
-            x0 = ConvOverK(self.K * self.K, name="X_0")(nn_pts_local, training)
+            x0 = ConvOverK(self.K * self.K, dtype=self.dtype, name="X_0")(
+                nn_pts_local, training
+            )
             x0 = x0.reshape(b, p, self.K, self.K)
-            x1 = DepthwiseConvOverK(self.K, name="X_1")(x0, training)
+            x1 = DepthwiseConvOverK(self.K, dtype=self.dtype, name="X_1")(x0, training)
             x1 = x1.reshape(b, p, self.K, self.K)
-            x2 = DepthwiseConvOverK(self.K, activation=None, name="X_2")(x1, training)
+            x2 = DepthwiseConvOverK(
+                self.K, activation=None, dtype=self.dtype, name="X_2"
+            )(x1, training)
             x2 = x2.reshape(b, p, self.K, self.K)
             # 5) weight/permute features.
             fts_x = jnp.einsum("bpkj,bpjc->bpkc", x2, nn_fts_input)
@@ -101,12 +114,12 @@ class XConv(nn.Module):
 
         # 6) separable conv over the K axis.
         out = SeparableConvOverK(
-            self.C, self.depth_multiplier, name="fts_conv"
+            self.C, self.depth_multiplier, dtype=self.dtype, name="fts_conv"
         )(fts_x, training)  # (B, P, C)
 
         if self.with_global:
-            g = DenseBN(self.C // 4, name="fts_global_0")(qrs, training)
-            g = DenseBN(self.C // 4, name="fts_global")(g, training)
+            g = DenseBN(self.C // 4, dtype=self.dtype, name="fts_global_0")(qrs, training)
+            g = DenseBN(self.C // 4, dtype=self.dtype, name="fts_global")(g, training)
             return jnp.concatenate([g, out], axis=-1)
         return out
 
@@ -120,6 +133,7 @@ class PointCNN(nn.Module):
     """
 
     config: PointCNNConfig
+    dtype: object = None
 
     @nn.compact
     def __call__(self, points, features, training: bool):
@@ -129,6 +143,19 @@ class PointCNN(nn.Module):
 
         layer_pts = [points]
         layer_fts = [features]
+
+        # Trace-level KNN cache: identical (pts, qrs, k) triples (by tracer
+        # identity) recur between the encoder's first layer and the decoder's
+        # final layers — the 16384x16384 query is the single most expensive
+        # op in the network, so never compute it twice.
+        knn_cache = {}
+
+        def cached_knn(pts, qrs, k):
+            key = (id(pts), id(qrs), k)
+            if key not in knn_cache:
+                _, idx = knn_point(k, pts, qrs)
+                knn_cache[key] = idx
+            return knn_cache[key]
 
         for layer_idx, lp in enumerate(xconvs):
             tag = f"xconv_{layer_idx + 1}"
@@ -162,6 +189,7 @@ class PointCNN(nn.Module):
                 depth_multiplier = math.ceil(lp.C / c_prev)
 
             with_global = cfg.with_global and layer_idx == len(xconvs) - 1
+            nn_idx = cached_knn(pts, qrs, lp.K * lp.D)
             out = XConv(
                 K=lp.K,
                 D=lp.D,
@@ -171,8 +199,9 @@ class PointCNN(nn.Module):
                 with_X_transformation=cfg.with_X_transformation,
                 with_global=with_global,
                 sorting_method=cfg.sorting_method,
+                dtype=self.dtype,
                 name=tag,
-            )(pts, fts, qrs, training)
+            )(pts, fts, qrs, training, nn_idx=nn_idx)
             layer_fts.append(out)
 
         for layer_idx, lp in enumerate(xdconvs):
@@ -189,6 +218,7 @@ class PointCNN(nn.Module):
             c_prev = xconvs[lp.pts_layer_idx].C
             c_pts_fts = c_prev // 4
 
+            nn_idx = cached_knn(pts, qrs, lp.K * lp.D)
             out = XConv(
                 K=lp.K,
                 D=lp.D,
@@ -198,16 +228,19 @@ class PointCNN(nn.Module):
                 with_X_transformation=cfg.with_X_transformation,
                 with_global=False,
                 sorting_method=cfg.sorting_method,
+                dtype=self.dtype,
                 name=tag,
-            )(pts, fts, qrs, training)
+            )(pts, fts, qrs, training, nn_idx=nn_idx)
             fused = jnp.concatenate([out, fts_qrs], axis=-1)
-            fused = DenseBN(c, name=tag + "_fuse")(fused, training)
+            fused = DenseBN(c, dtype=self.dtype, name=tag + "_fuse")(fused, training)
             layer_pts.append(qrs)
             layer_fts.append(fused)
 
         output_fts = layer_fts[-1]
         for i, fc in enumerate(cfg.fc_layers):
-            output_fts = DenseBN(fc.C, name=f"fc{i}")(output_fts, training)
+            output_fts = DenseBN(fc.C, dtype=self.dtype, name=f"fc{i}")(
+                output_fts, training
+            )
             output_fts = nn.Dropout(fc.dropout_rate, deterministic=not training)(
                 output_fts
             )

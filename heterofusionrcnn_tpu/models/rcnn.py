@@ -104,13 +104,16 @@ class RcnnModel(nn.Module):
         )
         cluster_sizes = jnp.asarray(self.cluster_sizes, jnp.float32).reshape(-1, 3)
         N = B * n
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
         # Two-stage decoupling: no gradients into stage-1 features (the
         # reference's crop op has its gradient registration disabled,
         # cropping/tf_cropping.py:36-52).
         rpn_fts = jax.lax.stop_gradient(rpn_fts)
 
-        img_extractor = ImgVggPyr(cfg.layers_config.img_vgg_pyr, name="img_vgg_pyr")
+        img_extractor = ImgVggPyr(
+            cfg.layers_config.img_vgg_pyr, dtype=dtype, name="img_vgg_pyr"
+        )
         img_fts = img_extractor(preprocess_image(img_input), training)
 
         # ---------------- RoI pooling ---------------- #
@@ -159,13 +162,13 @@ class RcnnModel(nn.Module):
 
         x = local_input
         for i, fc in enumerate(cfg.layers_config.rcnn_mlp_layers):
-            x = DenseBN(fc.C, name=f"mlp{i}")(x, training)
+            x = DenseBN(fc.C, dtype=dtype, name=f"mlp{i}")(x, training)
             x = nn.Dropout(fc.dropout_rate, deterministic=not training)(x)
 
         # ---------------- second-stage point encoder ---------------- #
         merged = jnp.concatenate([crop_fts, x], axis=-1)  # (N, Rc, C+Cm)
         pc_extractor = PointCNN(
-            cfg.layers_config.rcnn_pc_pointcnn, name="pc_pointcnn"
+            cfg.layers_config.rcnn_pc_pointcnn, dtype=dtype, name="pc_pointcnn"
         )
         _, pc_rois = pc_extractor(crop_pts_ct, merged, training)  # (N, r, C')
 
@@ -193,11 +196,11 @@ class RcnnModel(nn.Module):
         # ---------------- classification branch ---------------- #
         x = fuse
         for i, fc in enumerate(cfg.layers_config.rcnn_fc_layers):
-            x = DenseBN(fc.C, name=f"cls_fc{i}")(x, training)
+            x = DenseBN(fc.C, dtype=dtype, name=f"cls_fc{i}")(x, training)
             x = nn.Dropout(fc.dropout_rate, deterministic=not training)(x)
         cls_logits = DenseBN(
-            K + 1, use_bn=False, activation=None, name="cls_logits"
-        )(x, training)  # (N, K+1)
+            K + 1, use_bn=False, activation=None, dtype=dtype, name="cls_logits"
+        )(x, training).astype(jnp.float32)  # (N, K+1)
         cls_softmax = jax.nn.softmax(cls_logits, axis=-1)
         cls_fg_preds = jnp.argmax(cls_softmax[:, 1:], axis=-1).astype(jnp.int32)
         cls_scores = jnp.max(cls_softmax[:, 1:], axis=-1)
@@ -205,12 +208,12 @@ class RcnnModel(nn.Module):
         # ---------------- refinement branch ---------------- #
         x = fuse
         for i, fc in enumerate(cfg.layers_config.rcnn_fc_layers):
-            x = DenseBN(fc.C, name=f"reg_fc{i}")(x, training)
+            x = DenseBN(fc.C, dtype=dtype, name=f"reg_fc{i}")(x, training)
             x = nn.Dropout(fc.dropout_rate, deterministic=not training)(x)
         out_dim = (NUM_BIN_X * 2 + NUM_BIN_Z * 2 + NUM_BIN_THETA * 2 + 4) * K
         reg_output = DenseBN(
-            out_dim, use_bn=False, activation=None, name="reg_output"
-        )(x, training)
+            out_dim, use_bn=False, activation=None, dtype=dtype, name="reg_output"
+        )(x, training).astype(jnp.float32)
 
         out = reg_output.reshape(N, K, -1)
         o = 0

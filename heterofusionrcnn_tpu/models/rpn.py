@@ -125,19 +125,24 @@ class RpnModel(nn.Module):
             self.bin_params
         )
         cluster_sizes = jnp.asarray(self.cluster_sizes, jnp.float32).reshape(-1, 3)
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
         # ---------------- feature extraction ---------------- #
         pc_pts = pc_input[..., :3]
         pc_intensity = pc_input[..., 3:4]
 
         if cfg.layers_config.pc_extractor_type == "pointcnn":
-            pc_extractor = PointCNN(cfg.layers_config.pc_pointcnn, name="pc_pointcnn")
+            pc_extractor = PointCNN(
+                cfg.layers_config.pc_pointcnn, dtype=dtype, name="pc_pointcnn"
+            )
         else:
             pc_extractor = PointNet(cfg.layers_config.pc_pointnet, name="pc_pointnet")
         pc_fts_in = pc_intensity if rpn_cfg.rpn_use_intensity_feature else None
         pc_pts_out, pc_fts = pc_extractor(pc_pts, pc_fts_in, training)
 
-        img_extractor = ImgVggPyr(cfg.layers_config.img_vgg_pyr, name="img_vgg_pyr")
+        img_extractor = ImgVggPyr(
+            cfg.layers_config.img_vgg_pyr, dtype=dtype, name="img_vgg_pyr"
+        )
         img_fts = img_extractor(preprocess_image(img_input), training)
 
         # Per-point image features: project points, gather pixels
@@ -155,8 +160,8 @@ class RpnModel(nn.Module):
 
         # ---------------- segmentation head ---------------- #
         seg_logits = DenseBN(
-            K + 1, use_bn=False, activation=None, name="seg_logits"
-        )(pc_fts, training)
+            K + 1, use_bn=False, activation=None, dtype=dtype, name="seg_logits"
+        )(pc_fts, training).astype(jnp.float32)
         seg_softmax = jax.nn.softmax(seg_logits, axis=-1)
         seg_preds = jnp.argmax(seg_softmax, axis=-1).astype(jnp.int32)  # (B,P)
         seg_fg_preds = jnp.argmax(seg_softmax[..., 1:], axis=-1).astype(jnp.int32)
@@ -191,12 +196,12 @@ class RpnModel(nn.Module):
         # ---------------- bin-based proposal head ---------------- #
         x = fused
         for i, fc in enumerate(cfg.layers_config.rpn_fc_layers):
-            x = DenseBN(fc.C, name=f"fc{i}")(x, training)
+            x = DenseBN(fc.C, dtype=dtype, name=f"fc{i}")(x, training)
             x = nn.Dropout(fc.dropout_rate, deterministic=not training)(x)
         out_dim = (NUM_BIN_X * 2 + NUM_BIN_Z * 2 + NUM_BIN_THETA * 2 + 4) * K
         fc_output = DenseBN(
-            out_dim, use_bn=False, activation=None, name="fc_output"
-        )(x, training)
+            out_dim, use_bn=False, activation=None, dtype=dtype, name="fc_output"
+        )(x, training).astype(jnp.float32)
 
         # Parse (reference _parse_rpn_output :870-943).
         out = fc_output.reshape(B, P, K, -1)

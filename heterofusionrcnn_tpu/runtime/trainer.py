@@ -90,6 +90,7 @@ def train(
     init_params_from=None,
     init_rngs: Optional[dict] = None,
     log_every_steps: Optional[int] = None,
+    prefetch: int = 2,
 ):
     """Generic two-stage trainer.
 
@@ -153,10 +154,21 @@ def train(
     max_iters = tc.max_iterations // world
     rng = jax.random.PRNGKey(seed + 100)
 
+    # Overlap host-side batch prep with device steps (the reference loaded
+    # feed_dicts synchronously — its known input bottleneck, SURVEY.md §3.1).
+    if prefetch > 0:
+        from heterofusionrcnn_tpu.datasets.prefetch import BatchPrefetcher
+
+        prefetcher = BatchPrefetcher(next_batch, capacity=prefetch)
+        get_batch = prefetcher.next
+    else:
+        prefetcher = None
+        get_batch = next_batch
+
     step = int(state.step)
     t_last = time.time()
     while step < max_iters:
-        batch = next_batch()
+        batch = get_batch()
         batch = shard_batch(batch, mesh)
         state, metrics, rng = train_step(state, batch, rng)
         step = int(state.step)
@@ -177,6 +189,8 @@ def train(
 
     if step % tc.checkpoint_interval != 0:
         ckpt.save(step, jax.device_get(state))
+    if prefetcher is not None:
+        prefetcher.close()
     logger.close()
     ckpt.close()
     return state
