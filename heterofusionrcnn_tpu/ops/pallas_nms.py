@@ -3,11 +3,12 @@
 Greedy NMS is sequential in the kept boxes. The XLA formulations pay
 per-step costs that multiply badly (the blocked version's worst case is
 N/64 rounds of (64, N) IoU tables). Here the whole state — SoA box corners,
-scores, alive mask — lives in VMEM, and each of the max_keep iterations is a
-handful of (1, N) vector passes: masked argmax, scalar corner extraction by
-masked reduction, a one-box-vs-all rotated IoU (the same Green's-theorem
-line-integral as core.rotated_iou), and mask updates. Exact greedy semantics,
-ties to the lowest index.
+scores, alive mask — lives in VMEM laid out as (8, N/8) tiles (full sublane
+utilization), and each of the max_keep iterations is a handful of vector
+passes: masked argmax, scalar corner extraction by masked reduction, a
+one-box-vs-all rotated IoU (the same Green's-theorem line-integral as
+core.rotated_iou), and mask updates. Exact greedy semantics, ties to the
+lowest index.
 """
 
 from __future__ import annotations
@@ -21,12 +22,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -3.4e38
 _EPS = 1e-8
+_ROWS = 8  # sublane tiling of the state
 
 
 def _corners_soa(x1, z1, x2, z2, ry):
     """BEV corners, same convention as core.rotated_iou._bev_corners_soa.
 
-    Works on any broadcastable operands (scalars or (1, N) rows).
+    Works on any broadcastable operands (scalars or (8, N/8) tiles).
     Returns lists of 4 xs and 4 zs.
     """
     cx = 0.5 * (x1 + x2)
@@ -75,24 +77,29 @@ def _edges_integral(ax, az, bx, bz, drop_same_dir_collinear):
 
 def _nms_kernel(boxes_ref, scores_ref, valid_ref, out_idx_ref, *,
                 max_keep, n, iou_thresh):
-    """boxes_ref: (5, N) SoA [x1, z1, x2, z2, ry]; scores_ref: (1, N);
-    valid_ref: (1, N) f32 (1=selectable); out_idx_ref: (1, max_keep) int32,
-    -1 padded."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    """boxes_ref: (5*8, N/8) — coordinate r of original index j lives at
+    row (r*8 + j // (N/8)), column (j % (N/8)); scores_ref / valid_ref:
+    (8, N/8); out_idx_ref: (1, max_keep) int32, -1 padded."""
+    cols = n // _ROWS
+    # Original index of element (r, c) = r * cols + c (row-major reshape).
+    col = (
+        jax.lax.broadcasted_iota(jnp.int32, (_ROWS, cols), 0) * cols
+        + jax.lax.broadcasted_iota(jnp.int32, (_ROWS, cols), 1)
+    )
     out_col = jax.lax.broadcasted_iota(jnp.int32, (1, max_keep), 1)
 
-    bx1 = boxes_ref[0:1, :]
-    bz1 = boxes_ref[1:2, :]
-    bx2 = boxes_ref[2:3, :]
-    bz2 = boxes_ref[3:4, :]
-    bry = boxes_ref[4:5, :]
+    bx1 = boxes_ref[0:_ROWS, :]
+    bz1 = boxes_ref[_ROWS : 2 * _ROWS, :]
+    bx2 = boxes_ref[2 * _ROWS : 3 * _ROWS, :]
+    bz2 = boxes_ref[3 * _ROWS : 4 * _ROWS, :]
+    bry = boxes_ref[4 * _ROWS : 5 * _ROWS, :]
     areas = (bx2 - bx1) * (bz2 - bz1)
     all_xs, all_zs = _corners_soa(bx1, bz1, bx2, bz2, bry)
 
     out_idx_ref[0:1, :] = jnp.full((1, max_keep), -1, jnp.int32)
 
     def body(i, alive):
-        masked = jnp.where(alive > 0, scores_ref[0:1, :], _NEG)
+        masked = jnp.where(alive > 0, scores_ref[:, :], _NEG)
         m = jnp.max(masked)
         ok = m > _NEG
         best = jnp.min(jnp.where(masked == m, col, 2**30))
@@ -116,7 +123,7 @@ def _nms_kernel(boxes_ref, scores_ref, valid_ref, out_idx_ref, *,
         iou = ov / jnp.maximum(s_area + areas - ov, _EPS)
 
         suppress = (iou > iou_thresh) | sel
-        alive = jnp.where(ok & (suppress > 0), 0.0, alive)
+        alive = jnp.where(ok & suppress, 0.0, alive)
 
         write = jnp.where(ok, best, -1)
         out_idx_ref[0:1, :] = jnp.where(
@@ -124,7 +131,7 @@ def _nms_kernel(boxes_ref, scores_ref, valid_ref, out_idx_ref, *,
         )
         return alive
 
-    jax.lax.fori_loop(0, max_keep, body, valid_ref[0:1, :])
+    jax.lax.fori_loop(0, max_keep, body, valid_ref[:, :])
 
 
 @functools.partial(jax.jit, static_argnames=("max_keep", "iou_thresh"))
@@ -143,13 +150,30 @@ def oriented_nms_pallas(
       keep_idx (max_keep,) int32 (-1 padded, descending score),
       keep_valid (max_keep,) bool.
     """
-    n = bev_boxes.shape[0]
-    boxes_t = jnp.swapaxes(bev_boxes, 0, 1)  # (5, N)
-    scores_row = scores.reshape(1, n)
+    n_in = bev_boxes.shape[0]
+    pad = (-n_in) % _ROWS
+    if pad:
+        bev_boxes = jnp.concatenate(
+            [bev_boxes, jnp.zeros((pad, 5), bev_boxes.dtype)], axis=0
+        )
+        scores = jnp.concatenate([scores, jnp.full((pad,), _NEG)], axis=0)
+        pad_valid = jnp.concatenate(
+            [
+                jnp.ones((n_in,), bool) if valid_mask is None else valid_mask,
+                jnp.zeros((pad,), bool),
+            ]
+        )
+        valid_mask = pad_valid
+    n = n_in + pad
+    cols = n // _ROWS
+
+    # (5, N) -> (5*8, cols): coordinate r occupies rows [r*8, r*8+8).
+    boxes_t = jnp.swapaxes(bev_boxes, 0, 1).reshape(5 * _ROWS, cols)
+    scores_t = scores.reshape(_ROWS, cols)
     valid = (
-        jnp.ones((1, n), jnp.float32)
+        jnp.ones((_ROWS, cols), jnp.float32)
         if valid_mask is None
-        else valid_mask.reshape(1, n).astype(jnp.float32)
+        else valid_mask.reshape(_ROWS, cols).astype(jnp.float32)
     )
 
     kernel = functools.partial(
@@ -166,6 +190,6 @@ def oriented_nms_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(boxes_t, scores_row, valid)
+    )(boxes_t, scores_t, valid)
     keep_idx = out[0]
     return keep_idx, keep_idx >= 0
