@@ -11,6 +11,7 @@ tiles them onto the MXU; keep inputs NHWC.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from heterofusionrcnn_tpu.configs.config import ImgVggPyrConfig
@@ -27,6 +28,38 @@ def preprocess_image(image: jnp.ndarray) -> jnp.ndarray:
     """Mean-subtract each RGB channel (ImgFeatureExtractor.preprocess_input)."""
     means = jnp.asarray(KITTI_RGB_MEANS, image.dtype)
     return image - means
+
+
+class ImgVgg(nn.Module):
+    """Plain VGG encoder + bilinear upsampling back to full resolution
+    (reference img_vgg.py:31-122, upsampling_multiplier = downsampling
+    factor): the lighter alternative to the pyramid decoder."""
+
+    config: ImgVggPyrConfig
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, image, training: bool):
+        cfg = self.config
+
+        def block(x, repeats, filters, name):
+            for i in range(repeats):
+                x = ConvBNRelu(filters, dtype=self.dtype, name=f"{name}_{i + 1}")(
+                    x, training
+                )
+            return x
+
+        h, w = image.shape[1], image.shape[2]
+        x = block(image, *cfg.vgg_conv1, "conv1")
+        x = nn.max_pool(x, (2, 2), (2, 2))
+        x = block(x, *cfg.vgg_conv2, "conv2")
+        x = nn.max_pool(x, (2, 2), (2, 2))
+        x = block(x, *cfg.vgg_conv3, "conv3")
+        x = nn.max_pool(x, (2, 2), (2, 2))
+        x = block(x, *cfg.vgg_conv4, "conv4")
+        return jax.image.resize(
+            x, (x.shape[0], h, w, x.shape[3]), method="bilinear"
+        )
 
 
 class ImgVggPyr(nn.Module):

@@ -33,6 +33,7 @@ from heterofusionrcnn_tpu.core.projection import (
     project_boxes_to_image_space,
 )
 from heterofusionrcnn_tpu.models.extractors.img_vgg_pyr import (
+    ImgVgg,
     ImgVggPyr,
     preprocess_image,
 )
@@ -111,7 +112,10 @@ class RcnnModel(nn.Module):
         # cropping/tf_cropping.py:36-52).
         rpn_fts = jax.lax.stop_gradient(rpn_fts)
 
-        img_extractor = ImgVggPyr(
+        img_cls = (
+            ImgVgg if cfg.layers_config.img_extractor_type == "vgg" else ImgVggPyr
+        )
+        img_extractor = img_cls(
             cfg.layers_config.img_vgg_pyr, dtype=dtype, name="img_vgg_pyr"
         )
         img_fts = img_extractor(preprocess_image(img_input), training)

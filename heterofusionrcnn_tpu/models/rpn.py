@@ -36,6 +36,7 @@ from heterofusionrcnn_tpu.core.losses import (
 from heterofusionrcnn_tpu.core.projection import rect_to_image
 from heterofusionrcnn_tpu.core.rotated_iou import box_3d_iou
 from heterofusionrcnn_tpu.models.extractors.img_vgg_pyr import (
+    ImgVgg,
     ImgVggPyr,
     preprocess_image,
 )
@@ -140,7 +141,10 @@ class RpnModel(nn.Module):
         pc_fts_in = pc_intensity if rpn_cfg.rpn_use_intensity_feature else None
         pc_pts_out, pc_fts = pc_extractor(pc_pts, pc_fts_in, training)
 
-        img_extractor = ImgVggPyr(
+        img_cls = (
+            ImgVgg if cfg.layers_config.img_extractor_type == "vgg" else ImgVggPyr
+        )
+        img_extractor = img_cls(
             cfg.layers_config.img_vgg_pyr, dtype=dtype, name="img_vgg_pyr"
         )
         img_fts = img_extractor(preprocess_image(img_input), training)

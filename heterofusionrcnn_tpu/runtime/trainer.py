@@ -56,6 +56,22 @@ class MetricsLogger:
                 if k != "step":
                     self._tb.add_scalar(k, v, step)
 
+    def log_image(self, step: int, name: str, image) -> None:
+        """Feature-map / prediction image summaries (the reference's
+        summary_img_images / summary_pc_images toggles, summary_utils.py).
+
+        Args:
+          image: (H, W) or (H, W, C) array, any float range (normalized here).
+        """
+        import numpy as np
+
+        arr = np.asarray(image, dtype=np.float32)
+        lo, hi = arr.min(), arr.max()
+        arr = (arr - lo) / (hi - lo + 1e-8)
+        if self._tb is not None:
+            fmt = "HW" if arr.ndim == 2 else "HWC"
+            self._tb.add_image(name, arr, step, dataformats=fmt)
+
     def close(self):
         self._jsonl.close()
         if self._tb is not None:
