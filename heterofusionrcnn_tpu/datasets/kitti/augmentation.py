@@ -42,21 +42,29 @@ def flip_ground_plane(ground_plane: np.ndarray) -> np.ndarray:
 
 
 def compute_pca(image: np.ndarray) -> np.ndarray:
-    """Per-image PCA of pixel colors (kitti_aug.compute_pca :121-151)."""
+    """Per-image PCA of pixel colors (kitti_aug.compute_pca :121-151).
+
+    Same math as the reference but float32 matmul covariance instead of the
+    float64 np.cov path — the reference's per-image jitter was ~60% of the
+    whole sample-load cost."""
     assert image.dtype == np.uint8
-    data = (image.reshape(-1, 3) / 255.0).astype(np.float32)
-    covariance = np.cov(data.T)
-    e_vals, e_vecs = np.linalg.eigh(covariance)
+    data = image.reshape(-1, 3).astype(np.float32) * (1.0 / 255.0)
+    mean = data.mean(axis=0)
+    centered = data - mean
+    covariance = (centered.T @ centered) / (len(data) - 1)
+    e_vals, e_vecs = np.linalg.eigh(covariance.astype(np.float64))
     return np.sqrt(np.maximum(e_vals, 0)) * e_vecs
 
 
 def apply_pca_jitter(image: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     """Add PCA color noise with N(0, 0.1) magnitudes
-    (kitti_aug.add_pca_jitter :154-185)."""
+    (kitti_aug.add_pca_jitter :154-185). Single-pass: the noise is a
+    per-channel constant, so work in pixel units directly."""
     assert image.dtype == np.uint8
     pca = compute_pca(image)
     magnitude = rng.standard_normal(3) * 0.1
-    noise = (pca * magnitude).sum(axis=1)
-    out = image.astype(np.float32) / 255.0 + noise
-    np.clip(out, 0.0, 1.0, out=out)
-    return (out * 255).astype(np.uint8)
+    noise = (pca * magnitude).sum(axis=1)  # per-channel, in [0,1] units
+    out = image.astype(np.float32)
+    out += noise.astype(np.float32) * 255.0
+    np.clip(out, 0.0, 255.0, out=out)
+    return out.astype(np.uint8)
