@@ -102,6 +102,18 @@ def _knn_kernel(q_ref, px_ref, out_d_ref, out_i_ref, *, k, n_total,
     out_i_ref[:, :] = best_i
 
 
+def _knn_reference_jnp(k, xyz, new_xyz):
+    """Pure-jnp mirror of the kernel's selection semantics (exact top-k by
+    (distance, index) with direct (a-b)^2 distances). Used off-TPU: Pallas
+    interpret mode is pathologically slow for this kernel under the
+    multi-virtual-device CPU test config."""
+    d = jnp.sum(
+        (new_xyz[:, :, None, :] - xyz[:, None, :, :]) ** 2, axis=-1
+    )  # (B, P, N)
+    neg, idx = jax.lax.top_k(-d, k)
+    return -neg, idx.astype(jnp.int32)
+
+
 def supported_candidate_tile(n: int):
     """Largest supported candidate tile dividing n, or None."""
     for t in (2048, 512, 128):
@@ -131,6 +143,10 @@ def knn_pallas(k: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray):
     """
     b, n, _ = xyz.shape
     p = new_xyz.shape[1]
+
+    if jax.default_backend() != "tpu":
+        return _knn_reference_jnp(k, xyz, new_xyz)
+
     tile_n = supported_candidate_tile(n)
     tile_q = supported_query_tile(p)
     assert tile_n is not None and tile_q is not None, (n, p)
@@ -138,8 +154,7 @@ def knn_pallas(k: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray):
     kernel = functools.partial(
         _knn_kernel, k=k, n_total=n, tile_q=tile_q, tile_n=tile_n
     )
-
-    interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
+    interpret = False
 
     def one_batch(q, pts_t):
         return pl.pallas_call(
