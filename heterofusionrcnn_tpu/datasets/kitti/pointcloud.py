@@ -61,6 +61,42 @@ def get_lidar_point_cloud(
     return out.astype(np.float32)
 
 
+def get_area_filter(
+    points: np.ndarray,
+    area_extents: np.ndarray,
+    ground_plane: np.ndarray | None = None,
+    offset_dist: float = 2.0,
+) -> np.ndarray:
+    """Point filter by area extents + optional ground-plane offset (parity
+    with obj_utils.get_point_filter :485-534): keeps points inside the
+    [x, y, z] extents and, when a plane is given, with
+    a*x + b*y + c*z + (d - offset_dist) < 0 — i.e. below the plane shifted
+    `offset_dist` along its (upward) normal.
+
+    Args:
+      points: (N, 3); area_extents: (3, 2) [[xmin, xmax], [ymin, ymax],
+        [zmin, zmax]]; ground_plane: (4,) [a, b, c, d] or None.
+    Returns:
+      (N,) bool mask.
+    """
+    extents = np.asarray(area_extents, np.float64)
+    mask = (
+        (points[:, 0] > extents[0, 0])
+        & (points[:, 0] < extents[0, 1])
+        & (points[:, 1] > extents[1, 0])
+        & (points[:, 1] < extents[1, 1])
+        & (points[:, 2] > extents[2, 0])
+        & (points[:, 2] < extents[2, 1])
+    )
+    if ground_plane is not None:
+        a, b, c, d = np.asarray(ground_plane, np.float64)
+        dot = points[:, 0] * a + points[:, 1] * b + points[:, 2] * c + (
+            d - offset_dist
+        )
+        mask &= dot < 0
+    return mask
+
+
 def depth_stratified_sample(
     pts_rect: np.ndarray,
     intensity: np.ndarray,

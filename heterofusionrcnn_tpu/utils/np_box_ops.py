@@ -107,3 +107,13 @@ def points_in_box(points: np.ndarray, box_3d: np.ndarray, eps: float = 1e-6):
         return (proj >= -eps) & (proj <= sq + eps)
 
     return interval(u) & interval(v) & interval(w)
+
+
+def indices_to_dense_vector(
+    indices, size, indices_value=1.0, default_value=0.0, dtype=np.float32
+):
+    """Dense vector with the given indices set (parity with
+    hf/core/ops.indices_to_dense_vector)."""
+    out = np.full(int(size), default_value, dtype=dtype)
+    out[np.asarray(indices, np.int64)] = indices_value
+    return out

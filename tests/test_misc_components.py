@@ -122,3 +122,28 @@ def test_native_loader_matches_numpy():
     want = np.hstack([pts[keep], inten[keep][:, None]]).astype(np.float32)
     assert native.shape == want.shape
     np.testing.assert_allclose(native, want, atol=1e-4)
+
+
+def test_area_filter_with_plane():
+    from heterofusionrcnn_tpu.datasets.kitti.pointcloud import get_area_filter
+
+    extents = np.array([[-40, 40], [-5, 3], [0, 70]], float)
+    pts = np.array(
+        [
+            [0.0, 1.5, 10.0],   # near ground (y=1.65 plane-ish)
+            [0.0, -4.0, 10.0],  # 5.5m above ground -> removed by offset 2
+            [100.0, 1.5, 10.0], # outside x extents
+            [0.0, 1.5, 80.0],   # outside z extents
+        ]
+    )
+    plane = np.array([0.0, -1.0, 0.0, 1.65])  # y = 1.65 road plane
+    mask = get_area_filter(pts, extents, plane, offset_dist=2.0)
+    # dot = -y + 1.65 - 2 < 0  <=>  y > -0.35
+    assert mask.tolist() == [True, False, False, False]
+
+
+def test_indices_to_dense_vector():
+    from heterofusionrcnn_tpu.utils.np_box_ops import indices_to_dense_vector
+
+    v = indices_to_dense_vector([1, 3], 5)
+    np.testing.assert_allclose(v, [0, 1, 0, 1, 0])
