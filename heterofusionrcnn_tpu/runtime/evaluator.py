@@ -207,6 +207,7 @@ class RcnnEvaluator:
         os.makedirs(final_dir, exist_ok=True)
 
         infer_times = []
+        cls_accs = []
         ds._index_in_epoch = 0
         epoch0 = ds.epochs_completed
         while ds.epochs_completed == epoch0:
@@ -235,6 +236,8 @@ class RcnnEvaluator:
             )
             preds = jax.device_get(preds)
             infer_times.append(time.time() - t0)
+            if "cls_accuracy" in preds:
+                cls_accs.append(float(preds["cls_accuracy"]))
 
             name = names[0]
             n_valid = int(preds["num_boxes_before_padding"][0])
@@ -259,6 +262,7 @@ class RcnnEvaluator:
         )
         summary = {
             "global_step": int(global_step),
+            "avg_cls_acc": float(np.mean(cls_accs)) if cls_accs else 0.0,
             "avg_inference_time": float(np.mean(infer_times)),
             "kitti_predictions_dir": kitti_dir,
         }
@@ -282,8 +286,12 @@ class RcnnEvaluator:
             summary["ap"] = aps
         _append_csv(
             os.path.join(self.logs_dir, "rcnn_eval.csv"),
-            ["global_step", "avg_inference_time"],
-            [summary["global_step"], summary["avg_inference_time"]],
+            ["global_step", "avg_cls_acc", "avg_inference_time"],
+            [
+                summary["global_step"],
+                summary["avg_cls_acc"],
+                summary["avg_inference_time"],
+            ],
         )
         return summary
 
