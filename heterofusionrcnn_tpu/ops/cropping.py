@@ -8,6 +8,10 @@ unlike the CUDA atomic-append order) are gathered, and underfull boxes wrap
 around their member list (j -> j % cnt), duplicating points to fill all
 `resize` slots. Empty boxes yield index 0 and non_empty_box_mask=False.
 
+Implementation note: features are gathered through flat global row indices
+(box_ind * N + idx) — a per-box `fts[box_ind]` materializes an
+(Nb, N, C) intermediate (7.5 GB at inference shapes) before slicing.
+
 Like the reference (tf_cropping.py:36-52, gradient registration commented
 out), gradients do NOT flow into the RPN features through the crop — the two
 stages are trained separately; we enforce that with stop_gradient at the call
@@ -51,25 +55,30 @@ def pc_crop_and_sample(
       non_empty_box_mask (Nb,) bool.
       (Same tuple as cropping/tf_cropping.cpp:14-57.)
     """
-    def one_box(corners, bi):
-        p = pts[bi]  # (N, 3)
-        inside = points_in_box_3d(p, corners)  # (N,)
-        idx, cnt = _first_k_true(inside, resize)  # (R,), ()
-        # Wrap-fill: slot j beyond cnt duplicates member j % cnt.
-        slot = jnp.arange(resize, dtype=jnp.int32)
-        wrapped = jnp.where(
-            cnt > 0, slot % jnp.maximum(cnt, 1), jnp.int32(0)
-        )
-        # _first_k_true already pads with the first hit; re-gather through the
-        # wrapped slots to get the CUDA j%cnt duplication pattern.
-        idx = idx[wrapped]
-        return (
-            p[idx],
-            fts[bi][idx],
-            intensities[bi][idx],
-            mask[bi][idx],
-            idx,
-            cnt > 0,
-        )
+    b, n, _ = pts.shape
+    nb = boxes_corners.shape[0]
 
-    return jax.vmap(one_box)(boxes_corners, box_ind)
+    # Membership: each box against its batch element's points. Coordinates
+    # only — (Nb, N, 3) is small.
+    pts_per_box = pts[box_ind]  # (Nb, N, 3)
+    inside = jax.vmap(points_in_box_3d)(pts_per_box, boxes_corners)  # (Nb, N)
+
+    idx, cnt = _first_k_true(inside, resize)  # (Nb, R), (Nb,)
+
+    # Wrap-fill: slot j beyond cnt duplicates member j % cnt (CUDA
+    # duplication pattern, tf_cropping_g.cu).
+    slot = jnp.arange(resize, dtype=jnp.int32)[None, :]
+    wrapped = jnp.where(
+        cnt[:, None] > 0, slot % jnp.maximum(cnt[:, None], 1), 0
+    )
+    idx = jnp.take_along_axis(idx, wrapped, axis=1)  # (Nb, R)
+
+    # Flat global row gathers: avoids materializing per-box copies of the
+    # full feature tensor.
+    rows = (box_ind[:, None] * n + idx).reshape(-1)  # (Nb*R,)
+    crop_pts = pts.reshape(b * n, 3)[rows].reshape(nb, resize, 3)
+    crop_fts = fts.reshape(b * n, -1)[rows].reshape(nb, resize, fts.shape[-1])
+    crop_int = intensities.reshape(b * n, 1)[rows].reshape(nb, resize, 1)
+    crop_mask = mask.reshape(b * n)[rows].reshape(nb, resize)
+
+    return crop_pts, crop_fts, crop_int, crop_mask, idx, cnt > 0
