@@ -57,11 +57,20 @@ class RpnEvaluator:
         os.makedirs(self.predictions_dir, exist_ok=True)
         os.makedirs(self.logs_dir, exist_ok=True)
 
-        self._apply = jax.jit(
-            lambda variables, pc, img, p2, seg, reg, boxes: model.apply(
-                variables, pc, img, p2, seg, reg, boxes, training=False
+        self._has_labels = getattr(dataset, "has_labels", True)
+        if self._has_labels:
+            self._apply = jax.jit(
+                lambda variables, pc, img, p2, seg, reg, boxes: model.apply(
+                    variables, pc, img, p2, seg, reg, boxes, training=False
+                )
             )
-        )
+        else:
+            # Test split: no GT — proposals only (reference test-mode eval).
+            self._apply = jax.jit(
+                lambda variables, pc, img, p2, seg, reg, boxes: model.apply(
+                    variables, pc, img, p2, training=False
+                )
+            )
 
     def run_checkpoint_once(self, variables, global_step) -> dict:
         ds = self.dataset
@@ -126,24 +135,25 @@ class RpnEvaluator:
                 fmt="%.3f",
             )
 
-            m = int(batch["label_num_boxes"][0])
-            label_boxes = batch["label_boxes_3d"][0][:m]
-            label_cls = np.zeros(m, np.float32)
-            iou3d_table = preds["proposal_iou3d"][0][:n_valid, :m]
-            iou2d_table = preds["proposal_iou2d"][0][:n_valid, :m]
-            np.savetxt(os.path.join(iou_dir, name + ".txt"), iou3d_table)
+            if self._has_labels:
+                m = int(batch["label_num_boxes"][0])
+                label_boxes = batch["label_boxes_3d"][0][:m]
+                label_cls = np.zeros(m, np.float32)
+                iou3d_table = preds["proposal_iou3d"][0][:n_valid, :m]
+                iou2d_table = preds["proposal_iou2d"][0][:n_valid, :m]
+                np.savetxt(os.path.join(iou_dir, name + ".txt"), iou3d_table)
 
-            r50, r70, iou2ds, iou3ds, _, _, _ = compute_recall_iou(
-                proposals, label_boxes, label_cls, iou2d_table, iou3d_table
-            )
-            stats["recall_50"] += r50
-            stats["recall_70"] += r70
-            stats["num_gt"] += m
-            stats["num_proposals"].append(n_valid)
-            stats["iou2d"].extend(iou2ds.tolist())
-            stats["iou3d"].extend(iou3ds.tolist())
+                r50, r70, iou2ds, iou3ds, _, _, _ = compute_recall_iou(
+                    proposals, label_boxes, label_cls, iou2d_table, iou3d_table
+                )
+                stats["recall_50"] += r50
+                stats["recall_70"] += r70
+                stats["num_gt"] += m
+                stats["iou2d"].extend(iou2ds.tolist())
+                stats["iou3d"].extend(iou3ds.tolist())
             if "seg_accuracy" in preds:
                 stats["seg_acc"].append(float(preds["seg_accuracy"]))
+            stats["num_proposals"].append(n_valid)
 
             if self.save_rpn_feature:
                 arr = np.hstack(
