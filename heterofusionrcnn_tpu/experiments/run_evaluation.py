@@ -81,7 +81,7 @@ def main():
     mgr = CheckpointManager(ckpt_dir)
 
     def make_variables(step):
-        restored = mgr._mgr.restore(step)
+        restored = mgr.restore_raw(step)
         return {
             "params": restored["params"],
             "batch_stats": restored["batch_stats"],

@@ -88,7 +88,7 @@ def main():
     def load_vars(ckpt_dir):
         mgr = CheckpointManager(ckpt_dir)
         step = mgr.latest_step()
-        restored = mgr._mgr.restore(step)
+        restored = mgr.restore_raw(step)
         mgr.close()
         return (
             {"params": restored["params"], "batch_stats": restored["batch_stats"]},

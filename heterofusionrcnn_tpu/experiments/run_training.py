@@ -55,13 +55,7 @@ def main():
         from heterofusionrcnn_tpu.runtime.checkpoint import CheckpointManager
 
         mgr = CheckpointManager(args.warm_start_from)
-        # Build a template by initializing the *source* stage's params is not
-        # needed: restore raw tree.
-        import orbax.checkpoint as ocp
-
-        step = mgr.latest_step()
-        restored = mgr._mgr.restore(step)
-        init_params_from = restored["params"]
+        init_params_from = mgr.restore_raw()["params"]
         mgr.close()
 
     step_factory = (

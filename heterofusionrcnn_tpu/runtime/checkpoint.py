@@ -66,6 +66,14 @@ class CheckpointManager:
             step=restored["step"],
         )
 
+    def restore_raw(self, step: Optional[int] = None):
+        """Restore a checkpoint as a raw pytree (no template) — used by the
+        CLIs to load weights for eval/warm start without building a state."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        return self._mgr.restore(step)
+
     def close(self):
         self._mgr.close()
 

@@ -47,7 +47,7 @@ def main():
     for step in mgr.all_steps():
         if step in done:
             continue
-        restored = mgr._mgr.restore(step)
+        restored = mgr.restore_raw(step)
         variables = {
             "params": restored["params"],
             "batch_stats": restored["batch_stats"],
