@@ -1,13 +1,16 @@
 """Pallas TPU kernel: farthest point sampling.
 
 FPS is sequential in the number of selected points; the XLA fori_loop
-version pays per-iteration dispatch/layout costs. Here the (1, N) running
-min-distance state and the SoA point coordinates live in VMEM for the whole
-kernel; each iteration is a handful of vector passes (distance update, max,
-argmax-by-masked-min, coordinate extraction by masked sum) over N lanes.
+version pays per-iteration dispatch/layout costs. Here the whole batch is
+processed by ONE kernel instance: the (B, N) running min-distance state
+lives in VMEM with the batch on the sublane axis, so every per-iteration
+pass (distance update, per-row max, per-row argmax-by-masked-min, selected
+coordinate extraction by masked reduction) is a full-width VPU op over all
+batch elements at once. npoint sequential iterations total — not
+B * npoint as with one kernel per batch element.
 
 Semantics identical to ops.sampling.farthest_point_sample (start at index 0,
-ties -> lowest index).
+ties -> lowest index; parity with sampling/tf_sampling_g.cu:105-170).
 """
 
 from __future__ import annotations
@@ -19,25 +22,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-def _fps_kernel(pts_ref, out_ref, dists_ref, *, npoint, n):
-    """pts_ref: (3, N) SoA points; out_ref: (1, npoint) int32 indices;
-    dists_ref: (1, N) f32 scratch."""
-    xs = pts_ref[0:1, :]  # (1, N)
-    ys = pts_ref[1:2, :]
-    zs = pts_ref[2:3, :]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    out_col = jax.lax.broadcasted_iota(jnp.int32, (1, npoint), 1)
+_BIG = 3.4e38
 
-    dists_ref[:, :] = jnp.full((1, n), 3.4e38, jnp.float32)
-    out_ref[0:1, :] = jnp.zeros((1, npoint), jnp.int32)
 
-    def body(i, last_idx):
-        # Coordinates of the last selected point via masked reduction
-        # (no dynamic scalar gather needed).
+def _fps_kernel(xs_ref, ys_ref, zs_ref, out_ref, dists_ref, *, npoint, n, b):
+    """xs/ys/zs_ref: (B, N) SoA coordinates; out_ref: (B, npoint) int32;
+    dists_ref: (B, N) f32 scratch. All per-row (per-batch) operations."""
+    xs = xs_ref[:, :]
+    ys = ys_ref[:, :]
+    zs = zs_ref[:, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    out_col = jax.lax.broadcasted_iota(jnp.int32, (b, npoint), 1)
+
+    dists_ref[:, :] = jnp.full((b, n), _BIG, jnp.float32)
+    out_ref[:, :] = jnp.zeros((b, npoint), jnp.int32)
+
+    def body(i, last_idx):  # last_idx: (B, 1) int32
+        # Coordinates of each row's last selected point via masked reduction
+        # (no dynamic scalar gathers).
         sel = col == last_idx
-        lx = jnp.max(jnp.where(sel, xs, -3.4e38))
-        ly = jnp.max(jnp.where(sel, ys, -3.4e38))
-        lz = jnp.max(jnp.where(sel, zs, -3.4e38))
+        lx = jnp.max(jnp.where(sel, xs, -_BIG), axis=1, keepdims=True)
+        ly = jnp.max(jnp.where(sel, ys, -_BIG), axis=1, keepdims=True)
+        lz = jnp.max(jnp.where(sel, zs, -_BIG), axis=1, keepdims=True)
 
         dx = xs - lx
         dy = ys - ly
@@ -46,19 +52,20 @@ def _fps_kernel(pts_ref, out_ref, dists_ref, *, npoint, n):
         nd = jnp.minimum(dists_ref[:, :], d)
         dists_ref[:, :] = nd
 
-        m = jnp.max(nd)
-        nxt = jnp.min(jnp.where(nd == m, col, 2**30))
+        m = jnp.max(nd, axis=1, keepdims=True)  # (B, 1)
+        nxt = jnp.min(
+            jnp.where(nd == m, col, jnp.int32(2**30)), axis=1, keepdims=True
+        )
 
-        # Scalar VMEM stores are unsupported: masked row write instead.
-        out_ref[0:1, :] = jnp.where(out_col == i, last_idx, out_ref[0:1, :])
+        out_ref[:, :] = jnp.where(out_col == i, last_idx, out_ref[:, :])
         return nxt
 
-    jax.lax.fori_loop(0, npoint, body, jnp.int32(0))
+    jax.lax.fori_loop(0, npoint, body, jnp.zeros((b, 1), jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("npoint",))
 def farthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
-    """FPS via the fused Pallas kernel.
+    """FPS via the fused batched Pallas kernel.
 
     Args:
       xyz: (B, N, 3) points.
@@ -66,18 +73,21 @@ def farthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
       (B, npoint) int32 indices.
     """
     b, n, _ = xyz.shape
-    kernel = functools.partial(_fps_kernel, npoint=npoint, n=n)
+    kernel = functools.partial(_fps_kernel, npoint=npoint, n=n, b=b)
     interpret = jax.default_backend() != "tpu"
 
-    def one_batch(pts_t):
-        return pl.pallas_call(
-            kernel,
-            interpret=interpret,
-            out_shape=jax.ShapeDtypeStruct((1, npoint), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((1, n), jnp.float32)],
-        )(pts_t)
-
-    xyz_t = jnp.swapaxes(xyz, 1, 2)  # (B, 3, N)
-    return jax.vmap(one_batch)(xyz_t).squeeze(1)
+    xs = xyz[..., 0]
+    ys = xyz[..., 1]
+    zs = xyz[..., 2]
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((b, n), jnp.float32)],
+    )(xs, ys, zs)
