@@ -36,6 +36,36 @@ def _append_csv(path, header, row):
         w.writerow(row)
 
 
+def _append_ledger_row(path, values, fmt):
+    """Append one row in the reference's np.savetxt CSV format
+    (evaluator.py:683-726 — '%d, %.5f, ...', no header)."""
+    with open(path, "ba") as fp:
+        np.savetxt(fp, np.reshape(np.asarray(values, np.float64), (1, -1)), fmt=fmt)
+
+
+def _time_stats(times):
+    """min/max/mean/median inference-time stats (reference
+    evaluator_utils.print_inference_time_statistics :222-238)."""
+    if not times:
+        return {"min": 0.0, "max": 0.0, "mean": 0.0, "median": 0.0}
+    a = np.asarray(times)
+    return {
+        "min": float(np.min(a)),
+        "max": float(np.max(a)),
+        "mean": float(np.mean(a)),
+        "median": float(np.median(a)),
+    }
+
+
+# Training-target keys produced by the models in val mode: consumed by the
+# in-jit loss and stripped from the host transfer (they are large one-hots).
+_RPN_LOSS_KEYS = ("seg_gt_one_hot", "cls_preds", "cls_gts", "reg_preds", "reg_gts")
+_RCNN_LOSS_KEYS = (
+    "cls_logits", "cls_gt_one_hot", "pos_neg_cls_mask", "pos_reg_mask",
+    "mb_cls_preds", "mb_cls_gts", "mb_reg_preds", "mb_reg_gts",
+)
+
+
 class RpnEvaluator:
     """Stage-1 evaluator: proposal generation + metrics + RCNN handoff files."""
 
@@ -58,17 +88,41 @@ class RpnEvaluator:
         os.makedirs(self.logs_dir, exist_ok=True)
 
         self._has_labels = getattr(dataset, "has_labels", True)
-        if self._has_labels:
-            self._apply = jax.jit(
-                lambda variables, pc, img, p2, seg, reg, boxes: model.apply(
+        # Val mode carries the loss targets: evaluate the loss in-jit and
+        # strip the (large) target tensors from the host transfer — the
+        # reference evaluates losses at eval time and appends per-checkpoint
+        # ledgers (evaluator.py:623-797).
+        self._with_loss = self._has_labels and getattr(model, "mode", "") == "val"
+        if self._with_loss:
+            from heterofusionrcnn_tpu.models.rpn import rpn_loss
+
+            def apply_and_loss(variables, pc, img, p2, seg, reg, boxes):
+                preds = model.apply(
                     variables, pc, img, p2, seg, reg, boxes, training=False
+                )
+                loss_dict, total = rpn_loss(preds, pipeline_cfg.model_config)
+                loss_dict = dict(loss_dict, rpn_total_loss=total)
+                keep = {
+                    k: v for k, v in preds.items() if k not in _RPN_LOSS_KEYS
+                }
+                return keep, loss_dict
+
+            self._apply = jax.jit(apply_and_loss)
+        elif self._has_labels:
+            self._apply = jax.jit(
+                lambda variables, pc, img, p2, seg, reg, boxes: (
+                    model.apply(
+                        variables, pc, img, p2, seg, reg, boxes, training=False
+                    ),
+                    None,
                 )
             )
         else:
             # Test split: no GT — proposals only (reference test-mode eval).
             self._apply = jax.jit(
-                lambda variables, pc, img, p2, seg, reg, boxes: model.apply(
-                    variables, pc, img, p2, training=False
+                lambda variables, pc, img, p2, seg, reg, boxes: (
+                    model.apply(variables, pc, img, p2, training=False),
+                    None,
                 )
             )
 
@@ -94,7 +148,9 @@ class RpnEvaluator:
             "num_proposals": [],
             "iou2d": [],
             "iou3d": [],
+            "angle_res": 0.0,
         }
+        losses = {}
         infer_times = []
 
         ds._index_in_epoch = 0
@@ -113,7 +169,7 @@ class RpnEvaluator:
             if os.path.exists(os.path.join(prop_dir, names[0] + ".txt")):
                 continue
             t0 = time.time()
-            preds = self._apply(
+            preds, loss_dict = self._apply(
                 variables,
                 batch["point_cloud"],
                 batch["image_input"],
@@ -124,6 +180,9 @@ class RpnEvaluator:
             )
             preds = jax.device_get(preds)
             infer_times.append(time.time() - t0)
+            if loss_dict is not None:
+                for k, v in jax.device_get(loss_dict).items():
+                    losses.setdefault(k, []).append(float(v))
 
             name = names[0]
             n_valid = int(preds["num_proposals_before_padding"][0])
@@ -143,14 +202,23 @@ class RpnEvaluator:
                 iou2d_table = preds["proposal_iou2d"][0][:n_valid, :m]
                 np.savetxt(os.path.join(iou_dir, name + ".txt"), iou3d_table)
 
-                r50, r70, iou2ds, iou3ds, _, _, _ = compute_recall_iou(
-                    proposals, label_boxes, label_cls, iou2d_table, iou3d_table
+                r50, r70, iou2ds, iou3ds, iou3ds_gt_boxes, _, _ = (
+                    compute_recall_iou(
+                        proposals, label_boxes, label_cls, iou2d_table,
+                        iou3d_table,
+                    )
                 )
                 stats["recall_50"] += r50
                 stats["recall_70"] += r70
                 stats["num_gt"] += m
                 stats["iou2d"].extend(iou2ds.tolist())
                 stats["iou3d"].extend(iou3ds.tolist())
+                # Angle residual vs the best-IoU GT (reference
+                # evaluator.py:1047-1049).
+                if n_valid > 0:
+                    stats["angle_res"] += float(
+                        np.sum(np.abs(proposals[:, 6] - iou3ds_gt_boxes[:, 6]))
+                    )
             if "seg_accuracy" in preds:
                 stats["seg_acc"].append(float(preds["seg_accuracy"]))
             stats["num_proposals"].append(n_valid)
@@ -167,6 +235,8 @@ class RpnEvaluator:
                 )
                 np.save(os.path.join(feat_dir, name + ".npy"), arr)
 
+        tstats = _time_stats(infer_times)
+        num_proposals_total = max(int(np.sum(stats["num_proposals"])), 1)
         summary = {
             "global_step": int(global_step),
             "avg_seg_acc": float(np.mean(stats["seg_acc"])) if stats["seg_acc"] else 0.0,
@@ -175,13 +245,54 @@ class RpnEvaluator:
             "avg_num_proposals": float(np.mean(stats["num_proposals"])),
             "avg_iou2d": float(np.mean(stats["iou2d"])) if stats["iou2d"] else 0.0,
             "avg_iou3d": float(np.mean(stats["iou3d"])) if stats["iou3d"] else 0.0,
-            "avg_inference_time": float(np.mean(infer_times)),
+            "avg_angle_res": stats["angle_res"] / num_proposals_total,
+            "avg_inference_time": tstats["mean"],
+            "inference_time_stats": tstats,
         }
+        print(
+            "Inference time: Min: {min:.5f} Max: {max:.5f} Mean: {mean:.5f} "
+            "Median: {median:.5f}".format(**tstats)
+        )
         _append_csv(
             os.path.join(self.logs_dir, "rpn_total_recall.csv"),
-            list(summary.keys()),
-            list(summary.values()),
+            [k for k in summary if k != "inference_time_stats"],
+            [v for k, v in summary.items() if k != "inference_time_stats"],
         )
+
+        # Reference-format per-checkpoint ledgers at the predictions base dir
+        # (evaluator.py:683-726): rpn_avg_losses.csv, rpn_avg_seg_acc.csv,
+        # rpn_total_recall.csv.
+        if losses:
+            n_samp = max(len(losses["rpn_total_loss"]), 1)
+            avg = {k: sum(v) / n_samp for k, v in losses.items()}
+            summary["avg_losses"] = avg
+            _append_ledger_row(
+                os.path.join(self.predictions_dir, "rpn_avg_losses.csv"),
+                [global_step, avg["rpn_seg_loss"], avg["rpn_bin_cls_loss"],
+                 avg["rpn_reg_loss"], avg["rpn_total_loss"]],
+                "%d, %.5f, %.5f, %.5f, %5f",
+            )
+            print(
+                "Step {}: Average RPN Losses: segmentation {:.3f}, bin_cls "
+                "{:.3f}, regression {:.3f}, total {:.3f}".format(
+                    global_step, avg["rpn_seg_loss"], avg["rpn_bin_cls_loss"],
+                    avg["rpn_reg_loss"], avg["rpn_total_loss"],
+                )
+            )
+        if stats["seg_acc"]:
+            _append_ledger_row(
+                os.path.join(self.predictions_dir, "rpn_avg_seg_acc.csv"),
+                [global_step, summary["avg_seg_acc"]],
+                "%d, %.5f",
+            )
+        if self._has_labels:
+            _append_ledger_row(
+                os.path.join(self.predictions_dir, "rpn_total_recall.csv"),
+                [global_step, summary["recall_50"], summary["recall_70"],
+                 summary["avg_num_proposals"], summary["avg_iou2d"],
+                 summary["avg_iou3d"], summary["avg_angle_res"]],
+                "%d, %.5f, %.5f, %.5f, %.5f, %.5f, %.5f",
+            )
         return summary
 
 
@@ -198,9 +309,29 @@ class RcnnEvaluator:
         os.makedirs(self.predictions_dir, exist_ok=True)
         os.makedirs(self.logs_dir, exist_ok=True)
 
-        self._apply = jax.jit(
-            lambda variables, *args: model.apply(variables, *args, training=False)
+        self._with_loss = getattr(dataset, "has_labels", True) and (
+            getattr(model, "mode", "") == "val"
         )
+        if self._with_loss:
+            from heterofusionrcnn_tpu.models.rcnn import rcnn_loss
+
+            def apply_and_loss(variables, *args):
+                preds = model.apply(variables, *args, training=False)
+                loss_dict, total = rcnn_loss(preds, pipeline_cfg.model_config)
+                loss_dict = dict(loss_dict, rcnn_total_loss=total)
+                keep = {
+                    k: v for k, v in preds.items() if k not in _RCNN_LOSS_KEYS
+                }
+                return keep, loss_dict
+
+            self._apply = jax.jit(apply_and_loss)
+        else:
+            self._apply = jax.jit(
+                lambda variables, *args: (
+                    model.apply(variables, *args, training=False),
+                    None,
+                )
+            )
 
     def run_checkpoint_once(
         self, variables, global_step, num_rois: int = 100
@@ -218,6 +349,7 @@ class RcnnEvaluator:
 
         infer_times = []
         cls_accs = []
+        losses = {}
         ds._index_in_epoch = 0
         epoch0 = ds.epochs_completed
         while ds.epochs_completed == epoch0:
@@ -232,7 +364,7 @@ class RcnnEvaluator:
             if os.path.exists(os.path.join(final_dir, names[0] + ".txt")):
                 continue
             t0 = time.time()
-            preds = self._apply(
+            preds, loss_dict = self._apply(
                 variables,
                 batch["rpn_roi"],
                 batch["rpn_iou"],
@@ -246,6 +378,9 @@ class RcnnEvaluator:
             )
             preds = jax.device_get(preds)
             infer_times.append(time.time() - t0)
+            if loss_dict is not None:
+                for k, v in jax.device_get(loss_dict).items():
+                    losses.setdefault(k, []).append(float(v))
             if "cls_accuracy" in preds:
                 cls_accs.append(float(preds["cls_accuracy"]))
 
@@ -270,12 +405,44 @@ class RcnnEvaluator:
             self.cfg.eval_config.kitti_score_threshold,
             global_step,
         )
+        tstats = _time_stats(infer_times)
         summary = {
             "global_step": int(global_step),
             "avg_cls_acc": float(np.mean(cls_accs)) if cls_accs else 0.0,
-            "avg_inference_time": float(np.mean(infer_times)),
+            "avg_inference_time": tstats["mean"],
+            "inference_time_stats": tstats,
             "kitti_predictions_dir": kitti_dir,
         }
+        print(
+            "Inference time: Min: {min:.5f} Max: {max:.5f} Mean: {mean:.5f} "
+            "Median: {median:.5f}".format(**tstats)
+        )
+
+        # Reference-format per-checkpoint ledgers (evaluator.py:766-797):
+        # rcnn_avg_losses.csv + rcnn_avg_cls_acc.csv at the predictions dir.
+        if losses:
+            n_samp = max(len(losses["rcnn_total_loss"]), 1)
+            avg = {k: sum(v) / n_samp for k, v in losses.items()}
+            summary["avg_losses"] = avg
+            _append_ledger_row(
+                os.path.join(self.predictions_dir, "rcnn_avg_losses.csv"),
+                [global_step, avg["rcnn_cls_loss"], avg["rcnn_bin_cls_loss"],
+                 avg["rcnn_reg_loss"], avg["rcnn_total_loss"]],
+                "%d, %.5f, %.5f, %.5f, %.5f",
+            )
+            print(
+                "Step {}: Average RCNN Losses: cls {:.5f}, bin_cls {:.5f}, "
+                "reg {:.5f}, total {:.5f}".format(
+                    global_step, avg["rcnn_cls_loss"], avg["rcnn_bin_cls_loss"],
+                    avg["rcnn_reg_loss"], avg["rcnn_total_loss"],
+                )
+            )
+        if cls_accs:
+            _append_ledger_row(
+                os.path.join(self.predictions_dir, "rcnn_avg_cls_acc.csv"),
+                [global_step, summary["avg_cls_acc"]],
+                "%d, %.5f",
+            )
 
         # Offline AP via the native C++ evaluator (reference
         # run_kitti_native_eval, evaluator.py:1152-1192).
@@ -294,6 +461,17 @@ class RcnnEvaluator:
             ) as f:
                 json.dump({k: list(v) for k, v in aps.items()}, f, indent=2)
             summary["ap"] = aps
+
+            # Second pass with the relaxed 0.5/0.25 BEV+3D thresholds — the
+            # reference runs both scripts per checkpoint
+            # (evaluator.py:1180-1192, run_kitti_native_script_with_05_iou).
+            low_dir = os.path.join(os.path.dirname(kitti_dir), "results_05_iou")
+            aps_05 = run_kitti_native_eval(
+                ds.label_dir, kitti_dir, low_dir, low_iou=True
+            )
+            with open(os.path.join(low_dir, "ap_summary.json"), "w") as f:
+                json.dump({k: list(v) for k, v in aps_05.items()}, f, indent=2)
+            summary["ap_05_iou"] = aps_05
         _append_csv(
             os.path.join(self.logs_dir, "rcnn_eval.csv"),
             ["global_step", "avg_cls_acc", "avg_inference_time"],

@@ -29,8 +29,13 @@ def run_kitti_native_eval(
     gt_dir: str,
     det_dir: str,
     out_dir: Optional[str] = None,
+    low_iou: bool = False,
 ) -> dict:
     """Run the native evaluator; parse AP lines.
+
+    low_iou selects the relaxed BEV/3D thresholds (0.5 car, 0.25 ped/cyc) of
+    the reference's second evaluator binary, invoked via
+    run_kitti_native_script_with_05_iou (evaluator_utils.py:283-332).
 
     Returns:
       {"<class>_<metric>": (easy, moderate, hard), ...} in percent.
@@ -38,8 +43,11 @@ def run_kitti_native_eval(
     binary = ensure_built()
     out_dir = out_dir or det_dir
     os.makedirs(out_dir, exist_ok=True)
+    cmd = [binary, gt_dir, det_dir, out_dir]
+    if low_iou:
+        cmd.append("low_iou")
     result = subprocess.run(
-        [binary, gt_dir, det_dir, out_dir],
+        cmd,
         check=True,
         capture_output=True,
         text=True,

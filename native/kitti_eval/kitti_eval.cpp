@@ -50,15 +50,23 @@ struct Box {
 
 struct ClassSpec {
   std::string name;
-  double min_iou;                       // 0.7 car, 0.5 ped/cyc
   std::vector<std::string> neighbors;   // classes treated as "ignored"
 };
 
 const std::vector<ClassSpec> kClasses = {
-    {"Car", 0.7, {"Van"}},
-    {"Pedestrian", 0.5, {"Person_sitting"}},
-    {"Cyclist", 0.5, {}},
+    {"Car", {"Van"}},
+    {"Pedestrian", {"Person_sitting"}},
+    {"Cyclist", {}},
 };
+
+// Minimum overlap per [metric][class] (class order = kClasses). The standard
+// protocol uses 0.7 car / 0.5 ped+cyc for every metric; the reference also
+// ships a relaxed variant (evaluate_object_3d_offline_05_iou.cpp:55) that
+// halves the BEV/3D thresholds: {0.5 car, 0.25 ped+cyc}, 2D unchanged.
+const double kMinOverlapStandard[3][3] = {
+    {0.7, 0.5, 0.5}, {0.7, 0.5, 0.5}, {0.7, 0.5, 0.5}};
+const double kMinOverlapLow[3][3] = {
+    {0.7, 0.5, 0.5}, {0.5, 0.25, 0.25}, {0.5, 0.25, 0.25}};
 
 // ---------------------------------------------------------------------------
 // Geometry
@@ -236,7 +244,7 @@ struct Counts {
 // When collect_thresholds != nullptr, runs in "recall discovery" mode:
 // gathers the scores of detections matched to valid GTs.
 Counts EvalSample(const SampleData& s, const ClassSpec& cls, int difficulty,
-                  Metric metric, double thresh,
+                  Metric metric, double min_iou, double thresh,
                   std::vector<double>* collect_thresholds) {
   Counts out;
   const size_t ng = s.gts.size(), nd = s.dets.size();
@@ -262,7 +270,7 @@ Counts EvalSample(const SampleData& s, const ClassSpec& cls, int difficulty,
       if (s.dets[j].type != cls.name) continue;
       if (!collect_thresholds && s.dets[j].score < thresh) continue;
       double o = Overlap(s.gts[i], s.dets[j], metric);
-      if (o < cls.min_iou) continue;
+      if (o < min_iou) continue;
       // Official rule: prefer the highest-score detection above min IoU
       // (with max-IoU tie-break in threshold-discovery mode).
       if (collect_thresholds) {
@@ -296,7 +304,7 @@ Counts EvalSample(const SampleData& s, const ClassSpec& cls, int difficulty,
     if (!absorbed) {
       for (size_t i = 0; i < ng && !absorbed; ++i) {
         if (gt_status[i] != GT_IGNORED) continue;
-        if (Overlap(s.gts[i], s.dets[j], metric) >= cls.min_iou) absorbed = true;
+        if (Overlap(s.gts[i], s.dets[j], metric) >= min_iou) absorbed = true;
       }
     }
     if (!absorbed) {
@@ -323,14 +331,15 @@ struct PRCurve {
 };
 
 PRCurve EvaluateClass(const std::vector<SampleData>& samples,
-                      const ClassSpec& cls, int difficulty, Metric metric) {
+                      const ClassSpec& cls, int difficulty, Metric metric,
+                      double min_iou) {
   PRCurve curve;
 
   // 1) discover score thresholds at the 41 recall fractions.
   std::vector<double> matched_scores;
   double total_valid_gt = 0;
   for (const auto& s : samples) {
-    EvalSample(s, cls, difficulty, metric, -1e18, &matched_scores);
+    EvalSample(s, cls, difficulty, metric, min_iou, -1e18, &matched_scores);
     for (const auto& gt : s.gts)
       if (ClassifyGt(gt, cls, difficulty) == GT_VALID) total_valid_gt += 1;
   }
@@ -356,7 +365,8 @@ PRCurve EvaluateClass(const std::vector<SampleData>& samples,
   for (size_t t = 0; t < thresholds.size() && t < kNumRecallPts; ++t) {
     Counts total;
     for (const auto& s : samples) {
-      Counts c = EvalSample(s, cls, difficulty, metric, thresholds[t], nullptr);
+      Counts c =
+          EvalSample(s, cls, difficulty, metric, min_iou, thresholds[t], nullptr);
       total.tp += c.tp;
       total.fp += c.fp;
       total.fn += c.fn;
@@ -385,10 +395,17 @@ PRCurve EvaluateClass(const std::vector<SampleData>& samples,
 
 int main(int argc, char** argv) {
   if (argc < 4) {
-    std::fprintf(stderr, "usage: %s <gt_dir> <det_dir> <out_dir>\n", argv[0]);
+    std::fprintf(stderr,
+                 "usage: %s <gt_dir> <det_dir> <out_dir> [low_iou]\n"
+                 "  low_iou: relaxed BEV/3D thresholds (0.5 car, 0.25\n"
+                 "  ped/cyc) matching the reference's _05_iou evaluator\n",
+                 argv[0]);
     return 1;
   }
   std::string gt_dir = argv[1], det_dir = argv[2], out_dir = argv[3];
+  bool low_iou = argc > 4 && std::string(argv[4]) == "low_iou";
+  const double(&min_overlap)[3][3] =
+      low_iou ? kMinOverlapLow : kMinOverlapStandard;
 
   std::vector<std::string> names = ListSamples(det_dir);
   if (names.empty()) {
@@ -411,11 +428,12 @@ int main(int argc, char** argv) {
   }
   std::printf("loaded %zu samples\n", samples.size());
 
-  for (const auto& cls : kClasses) {
+  for (size_t c = 0; c < kClasses.size(); ++c) {
+    const ClassSpec& cls = kClasses[c];
     for (int m = 0; m < 3; ++m) {
       PRCurve curves[3];
       for (int d = 0; d < 3; ++d)
-        curves[d] = EvaluateClass(samples, cls, d, (Metric)m);
+        curves[d] = EvaluateClass(samples, cls, d, (Metric)m, min_overlap[m][c]);
 
       std::string lower = cls.name;
       std::transform(lower.begin(), lower.end(), lower.begin(), ::tolower);

@@ -90,6 +90,42 @@ def test_native_eval_poor_detections(tmp_path):
     assert aps["car_detection_3d"][1] < 5.0
 
 
+def test_native_eval_low_iou_mode(tmp_path):
+    """low_iou relaxes only the BEV/3D thresholds (0.5 car — reference
+    evaluate_object_3d_offline_05_iou.cpp:55). Detections with footprint
+    scaled x0.75 have 3D IoU = 0.5625 vs their GT: a miss at the standard
+    0.7 car threshold, a hit at the relaxed 0.5."""
+    from heterofusionrcnn_tpu.runtime.native_eval import run_kitti_native_eval
+
+    gt_dir = os.path.join(FIXTURE, "training", "label_2")
+    det_dir = tmp_path / "det"
+    det_dir.mkdir()
+    for f in glob.glob(gt_dir + "/*.txt"):
+        rows = []
+        for line in open(f):
+            p = line.split()
+            if p and p[0] == "Car":
+                p[9] = str(float(p[9]) * 0.75)   # w
+                p[10] = str(float(p[10]) * 0.75)  # l
+                rows.append(" ".join(p[:15]) + " 0.99")
+        (det_dir / os.path.basename(f)).write_text(
+            "\n".join(rows) + ("\n" if rows else "")
+        )
+
+    std = run_kitti_native_eval(gt_dir, str(det_dir), str(tmp_path / "std"))
+    low = run_kitti_native_eval(
+        gt_dir, str(det_dir), str(tmp_path / "low"), low_iou=True
+    )
+    # 2D thresholds identical in both modes; the 2D boxes are untouched.
+    np.testing.assert_allclose(
+        low["car_detection_2d"], std["car_detection_2d"], atol=1e-6
+    )
+    # 3D: every det misses at 0.7 but hits at 0.5.
+    assert std["car_detection_3d"][1] < 1.0
+    assert low["car_detection_3d"][1] > 40.0
+    assert low["car_detection_bev"][1] > 40.0
+
+
 def test_export_roundtrip(tmp_path):
     """jax.export freeze of a tiny jitted fn: serialized artifact reproduces
     the live outputs."""

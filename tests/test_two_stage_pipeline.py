@@ -87,6 +87,21 @@ def two_stage_run(tmp_path_factory):
     evaluator = RpnEvaluator(
         val_model, eval_ds, cfg, output_root, save_rpn_feature=True
     )
+
+    # Untrained baseline eval at pseudo-step 0: gives the loss ledgers a
+    # second row so tests can assert the evaluated loss decreases with
+    # training (reference writes rpn_avg_losses.csv per checkpoint,
+    # evaluator.py:683-700).
+    init_vars = jax.jit(
+        lambda rngs, *a: val_model.init(rngs, *a, training=False)
+    )(
+        {"params": jax.random.PRNGKey(99)},
+        init_args["point_cloud"], init_args["image_input"],
+        init_args["stereo_calib_p2"], init_args["label_seg"],
+        init_args["label_reg"], init_args["label_boxes_3d"],
+    )
+    evaluator.run_checkpoint_once(jax.device_get(init_vars), 0)
+
     variables = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
@@ -290,6 +305,63 @@ def test_final_predictions_and_kitti_txt(two_stage_run):
                 if parts:
                     assert len(parts) == 16
                     assert parts[0] in ("Car", "Pedestrian", "Cyclist")
+
+
+def _read_ledger(path):
+    """Parse the reference-format '%d, %.5f, ...' np.savetxt CSVs."""
+    rows = np.loadtxt(path, delimiter=",", ndmin=2)
+    return rows
+
+
+def test_rpn_loss_ledgers(two_stage_run):
+    """Per-checkpoint loss ledgers in the reference's format + the evaluated
+    loss decreases from the untrained (step-0) baseline to the trained step
+    (reference evaluator.py:683-726)."""
+    pred_dir = two_stage_run["pred_dir"]
+    step = int(two_stage_run["rpn_state"].step)
+
+    losses = _read_ledger(os.path.join(pred_dir, "rpn_avg_losses.csv"))
+    # columns: step, seg, bin_cls, reg, total
+    assert losses.shape == (2, 5)
+    assert np.isfinite(losses).all()
+    by_step = {int(r[0]): r for r in losses}
+    assert set(by_step) == {0, step}
+    assert by_step[step][4] < by_step[0][4]  # total loss decreased
+
+    seg_acc = _read_ledger(os.path.join(pred_dir, "rpn_avg_seg_acc.csv"))
+    assert seg_acc.shape == (2, 2)
+    assert (seg_acc[:, 1] >= 0).all() and (seg_acc[:, 1] <= 1).all()
+    by_step_acc = {int(r[0]): r for r in seg_acc}
+    assert by_step_acc[step][1] >= by_step_acc[0][1]
+
+    recall = _read_ledger(os.path.join(pred_dir, "rpn_total_recall.csv"))
+    # columns: step, r50, r70, avg_proposals, iou2d, iou3d, angle_res
+    assert recall.shape == (2, 7)
+    assert np.isfinite(recall).all()
+
+
+def test_rcnn_loss_ledgers(two_stage_run):
+    cfg = two_stage_run["rcnn_cfg"]
+    pred_dir = os.path.join(
+        two_stage_run["root"], cfg.model_config.checkpoint_name, "predictions"
+    )
+    losses = _read_ledger(os.path.join(pred_dir, "rcnn_avg_losses.csv"))
+    assert losses.shape[1] == 5
+    assert np.isfinite(losses).all()
+    s = two_stage_run["rcnn_eval_summary"]
+    assert np.isfinite(s["avg_losses"]["rcnn_total_loss"])
+
+    acc = _read_ledger(os.path.join(pred_dir, "rcnn_avg_cls_acc.csv"))
+    assert (acc[:, 1] >= 0).all() and (acc[:, 1] <= 1).all()
+
+
+def test_inference_time_stats(two_stage_run):
+    """min/max/mean/median timing parity (reference
+    evaluator_utils.print_inference_time_statistics :222-238)."""
+    for key in ("rpn_eval_summary", "rcnn_eval_summary"):
+        ts = two_stage_run[key]["inference_time_stats"]
+        assert ts["min"] <= ts["median"] <= ts["max"]
+        assert ts["min"] <= ts["mean"] <= ts["max"]
 
 
 def test_warm_start_transferred_img_branch(two_stage_run):
