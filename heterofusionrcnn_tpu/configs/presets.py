@@ -171,6 +171,8 @@ def rpn_unittest() -> PipelineConfig:
     cfg.train_config.max_iterations = 3
     cfg.train_config.checkpoint_interval = 2
     cfg.train_config.summary_interval = 1
+    # Keep CPU test runs lean; the toggle wiring has its own test.
+    cfg.train_config.summary_histograms = False
     return cfg
 
 

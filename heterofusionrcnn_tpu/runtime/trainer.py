@@ -32,12 +32,27 @@ from heterofusionrcnn_tpu.runtime.train_state import TrainState
 class MetricsLogger:
     """Scalar logging: TensorBoard (via torch.utils.tensorboard) when
     available, always a JSONL file (the reference's three channels were
-    TB summaries + CSVs + stdout, SURVEY.md §5)."""
+    TB summaries + CSVs + stdout, SURVEY.md §5).
 
-    def __init__(self, log_dir: str):
+    The train.proto summary toggles map 1:1 (reference trainer.py:58-60 +
+    summary_utils.summaries_to_keep :88): `histograms` gates per-parameter
+    histogram summaries, `img_images`/`pc_images` gate input image / BEV
+    point-cloud image summaries."""
+
+    def __init__(
+        self,
+        log_dir: str,
+        histograms: bool = True,
+        img_images: bool = False,
+        pc_images: bool = False,
+    ):
         os.makedirs(log_dir, exist_ok=True)
+        self.histograms = histograms
+        self.img_images = img_images
+        self.pc_images = pc_images
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         self._tb = None
+        self._hist_fn = None
         try:
             from torch.utils.tensorboard import SummaryWriter
 
@@ -72,10 +87,95 @@ class MetricsLogger:
             fmt = "HW" if arr.ndim == 2 else "HWC"
             self._tb.add_image(name, arr, step, dataformats=fmt)
 
+    def log_param_histograms(self, step: int, params) -> None:
+        """Per-parameter histogram summaries (train.proto summary_histograms).
+
+        Histograms are computed ON DEVICE (64 bins) and only the bucket
+        counts/edges cross to the host — a full device_get of the params
+        every summary interval would saturate slow transports."""
+        if not (self.histograms and self._tb is not None):
+            return
+        import jax
+        import jax.numpy as jnp
+
+        if self._hist_fn is None:
+
+            def one(x):
+                x = x.astype(jnp.float32).ravel()
+                lo = jnp.min(x)
+                hi = jnp.max(x)
+                span = jnp.maximum(hi - lo, 1e-12)
+                idx = jnp.clip(
+                    ((x - lo) / span * 64).astype(jnp.int32), 0, 63
+                )
+                counts = jnp.zeros((64,), jnp.int32).at[idx].add(1)
+                edges = lo + span * (jnp.arange(1, 65, dtype=jnp.float32) / 64)
+                return {
+                    "min": lo, "max": hi, "sum": jnp.sum(x),
+                    "sum_sq": jnp.sum(x * x), "counts": counts,
+                    "edges": edges,
+                }
+
+            self._hist_fn = jax.jit(
+                lambda tree: jax.tree_util.tree_map(one, tree)
+            )
+
+        import numpy as np
+
+        flat, _ = jax.tree_util.tree_flatten_with_path(params)
+        sizes = {jax.tree_util.keystr(kp): int(np.prod(v.shape))
+                 for kp, v in flat}
+        stats = jax.device_get(self._hist_fn(params))
+        sflat, _ = jax.tree_util.tree_flatten_with_path(
+            stats, is_leaf=lambda x: isinstance(x, dict) and "counts" in x
+        )
+        for kp, s in sflat:
+            name = jax.tree_util.keystr(kp).strip("[]'").replace("']['", "/")
+            self._tb.add_histogram_raw(
+                tag=name,
+                min=float(s["min"]),
+                max=float(s["max"]),
+                num=sizes[jax.tree_util.keystr(kp)],
+                sum=float(s["sum"]),
+                sum_squares=float(s["sum_sq"]),
+                bucket_limits=np.asarray(s["edges"]).tolist(),
+                bucket_counts=np.asarray(s["counts"]).tolist(),
+                global_step=step,
+            )
+
+    def log_input_summaries(self, step: int, batch: dict) -> None:
+        """Input image / BEV point-cloud summaries (train.proto
+        summary_img_images / summary_pc_images)."""
+        import numpy as np
+
+        if self.img_images and "image_input" in batch:
+            self.log_image(step, "input/image", np.asarray(batch["image_input"])[0])
+        if self.pc_images and "point_cloud" in batch:
+            pc = np.asarray(batch["point_cloud"])[0]
+            bev, _, _ = np.histogram2d(
+                pc[:, 0], pc[:, 2], bins=(200, 176),
+                range=[[-40, 40], [0, 70]],
+            )
+            self.log_image(step, "input/pc_bev", np.log1p(bev))
+
     def close(self):
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+
+def device_memory_mb() -> float:
+    """Peak device memory in MB (the reference logged the GPU memory
+    watermark each step via tf.contrib.memory_stats.MaxBytesInUse,
+    trainer.py:99). Returns 0.0 where the backend exposes no stats (CPU)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if not stats:
+            return 0.0
+        peak = stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0))
+        return float(peak) / 1e6
+    except Exception:
+        return 0.0
 
 
 def setup_output_dirs(output_root: str, checkpoint_name: str):
@@ -163,7 +263,12 @@ def train(
 
     state = replicate_state(state, mesh)
     train_step = make_train_step(loss_fn)
-    logger = MetricsLogger(paths["logs"])
+    logger = MetricsLogger(
+        paths["logs"],
+        histograms=tc.summary_histograms,
+        img_images=tc.summary_img_images,
+        pc_images=tc.summary_pc_images,
+    )
     log_every = log_every_steps or tc.summary_interval
 
     # Iteration budget divided by world size (trainer.py:146-152).
@@ -184,8 +289,8 @@ def train(
     step = int(state.step)
     t_last = time.time()
     while step < max_iters:
-        batch = get_batch()
-        batch = shard_batch(batch, mesh)
+        host_batch = get_batch()
+        batch = shard_batch(host_batch, mesh)
         state, metrics, rng = train_step(state, batch, rng)
         step = int(state.step)
 
@@ -194,7 +299,10 @@ def train(
             t_last = time.time()
             host_metrics = {k: float(v) for k, v in metrics.items()}
             host_metrics["steps_per_sec"] = log_every / max(dt, 1e-9)
+            host_metrics["device_mem_mb"] = device_memory_mb()
             logger.log(step, host_metrics)
+            logger.log_param_histograms(step, state.params)
+            logger.log_input_summaries(step, host_batch)
             print(
                 f"step {step}/{max_iters} "
                 + " ".join(f"{k}={v:.4f}" for k, v in host_metrics.items())

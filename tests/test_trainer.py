@@ -141,3 +141,38 @@ def test_trainer_resumes(fake_setup):
     cfg.train_config.max_iterations = 8
     state = train(**common)  # resumes from 5, continues to 8
     assert int(state.step) == 8
+
+
+def test_metrics_logger_summary_toggles(tmp_path):
+    """summary_histograms / summary_img_images / summary_pc_images wiring
+    (reference trainer.py:58-60 + summary_utils.summaries_to_keep)."""
+    from heterofusionrcnn_tpu.runtime.trainer import MetricsLogger, device_memory_mb
+
+    log_dir = str(tmp_path / "logs")
+    logger = MetricsLogger(
+        log_dir, histograms=True, img_images=True, pc_images=True
+    )
+    params = {
+        "dense": {"kernel": jnp.linspace(-1.0, 1.0, 256).reshape(16, 16),
+                  "bias": jnp.zeros((16,))},
+    }
+    logger.log(1, {"loss": 1.0})
+    logger.log_param_histograms(1, params)
+    batch = {
+        "image_input": np.random.default_rng(0).uniform(0, 255, (1, 24, 48, 3)),
+        "point_cloud": np.random.default_rng(1).uniform(-10, 40, (1, 256, 4)),
+    }
+    logger.log_input_summaries(1, batch)
+    logger.close()
+
+    # TB event files carry the summaries (torch TB is baked into the env).
+    events = glob.glob(os.path.join(log_dir, "events.*"))
+    assert events and os.path.getsize(events[0]) > 500
+
+    # Toggles off -> no histogram work (must not throw, logs scalars only).
+    logger2 = MetricsLogger(str(tmp_path / "logs2"), histograms=False)
+    logger2.log_param_histograms(1, params)
+    logger2.log_input_summaries(1, batch)
+    logger2.close()
+
+    assert device_memory_mb() >= 0.0
