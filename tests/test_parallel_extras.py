@@ -75,44 +75,101 @@ def test_rcnn_data_parallel_8dev():
 
 
 def test_real_model_export_roundtrip(tmp_path):
-    """Freeze the unittest-scale RCNN test-mode forward to StableHLO and
-    reproduce live outputs (combine_and_freeze parity check at small scale)."""
-    from heterofusionrcnn_tpu.runtime.export import export_fused_inference, load_exported
+    """Freeze the REAL fused RPN->RCNN inference (unittest scale) to StableHLO
+    and call the artifact with inputs DIFFERENT from the trace examples —
+    proving (pc, img, p2) flow through the exported signature rather than
+    being baked in (combine_and_freeze_graph_fuse.py parity)."""
+    from heterofusionrcnn_tpu.configs.presets import rpn_unittest
+    from heterofusionrcnn_tpu.models.rpn import RpnModel
+    from heterofusionrcnn_tpu.runtime.export import (
+        export_fused_inference,
+        load_exported,
+    )
 
-    cfg = rcnn_unittest()
-    rng = np.random.default_rng(1)
-    inputs = synthetic_inputs(rng, B=1, n=8, P=512, C=72, h=48, w=96)
-    model = RcnnModel(
-        config=cfg.model_config, num_classes=3, cluster_sizes=CLUSTERS,
+    rpn_cfg = rpn_unittest()
+    rcnn_cfg = rcnn_unittest()
+    rpn_model = RpnModel(
+        config=rpn_cfg.model_config, num_classes=3, cluster_sizes=CLUSTERS,
+        mode="test", save_rpn_feature=True,
+    )
+    rcnn_model = RcnnModel(
+        config=rcnn_cfg.model_config, num_classes=3, cluster_sizes=CLUSTERS,
         mode="test",
     )
-    init_fn = jax.jit(lambda r, *a: model.init(r, *a, training=False))
-    variables = init_fn({"params": jax.random.PRNGKey(0)}, *inputs.values())
 
-    def fused(rpn_vars, rcnn_vars, pc, img, p2):
-        # Reuse the export signature: here "pc" carries the RoI inputs packed
-        # upstream; for this test we close over them instead.
-        return model.apply(rcnn_vars, *inputs.values(), training=False)
+    ic = rpn_cfg.model_config.input_config
+    P, H, W = ic.pc_sample_pts, ic.img_dims_h, ic.img_dims_w
+    n_prop = rpn_cfg.model_config.rpn_config.rpn_test_post_nms_size
 
-    path = str(tmp_path / "rcnn.stablehlo")
-    n = export_fused_inference(
-        fused, {}, variables,
-        np.zeros((1,), np.float32), np.zeros((1,), np.float32),
-        np.zeros((1,), np.float32), path,
+    def make_inputs(seed):
+        rng = np.random.default_rng(seed)
+        pc = rng.uniform(-20, 20, (1, P, 4)).astype(np.float32)
+        pc[..., 2] = np.abs(pc[..., 2]) + 1.0
+        img = rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32)
+        p2 = np.array(
+            [[[200.0, 0, W / 2, 10], [0, 200.0, H / 2, 1], [0, 0, 1, 0]]],
+            np.float32,
+        )
+        return pc, img, p2
+
+    pc0, img0, p20 = make_inputs(0)
+    rpn_vars = jax.jit(
+        lambda r, *a: rpn_model.init(r, *a, training=False)
+    )({"params": jax.random.PRNGKey(0)}, pc0, img0, p20)
+
+    fts_dim = 64 + 8  # pc fc + vgg_conv1 (unittest preset)
+    rcnn_vars = jax.jit(
+        lambda r, *a: rcnn_model.init(r, *a, training=False)
+    )(
+        {"params": jax.random.PRNGKey(1)},
+        np.zeros((1, n_prop, 7), np.float32),
+        np.zeros((1, n_prop), np.float32),
+        np.zeros((1, n_prop, 8), np.float32),
+        pc0[..., :3], pc0[..., 3],
+        np.ones((1, P), np.float32),
+        np.zeros((1, P, fts_dim), np.float32),
+        img0, p20,
     )
+
+    def fused(rpn_v, rcnn_v, pc, img, p2):
+        rpn_out = rpn_model.apply(rpn_v, pc, img, p2, training=False)
+        proposals = rpn_out["proposals"]
+        B, n = proposals.shape[:2]
+        fts = jnp.concatenate(
+            [rpn_out["rpn_fts"], rpn_out["rpn_img_fts"]], axis=-1
+        )
+        out = rcnn_model.apply(
+            rcnn_v, proposals, jnp.zeros((B, n)), jnp.zeros((B, n, 8)),
+            rpn_out["rpn_pts"], rpn_out["rpn_intensity"][..., 0],
+            rpn_out["foreground_mask"].astype(jnp.float32), fts, img, p2,
+            training=False,
+        )
+        return {
+            "final_boxes": out["final_boxes"],
+            "final_scores": out["final_scores"],
+        }
+
+    path = str(tmp_path / "fused.stablehlo")
+    n = export_fused_inference(fused, rpn_vars, rcnn_vars, pc0, img0, p20, path)
     assert n > 0
 
+    # Fresh inputs, never seen at trace time.
+    pc1, img1, p21 = make_inputs(7)
     loaded = load_exported(path)
-    got = loaded(
-        np.zeros((1,), np.float32), np.zeros((1,), np.float32),
-        np.zeros((1,), np.float32),
-    )
-    want = model.apply(variables, *inputs.values(), training=False)
+    got = loaded(pc1, img1, p21)
+    want = fused(rpn_vars, rcnn_vars, pc1, img1, p21)
+    # Tolerances: exported StableHLO and the live trace may fuse differently;
+    # box coords are in meters, so 1e-3 abs is ~1 mm.
     np.testing.assert_allclose(
         np.asarray(got["final_boxes"]), np.asarray(want["final_boxes"]),
-        atol=1e-4,
+        rtol=1e-3, atol=1e-3,
     )
     np.testing.assert_allclose(
         np.asarray(got["final_scores"]), np.asarray(want["final_scores"]),
-        atol=1e-5,
+        rtol=1e-4, atol=1e-5,
+    )
+    # And the outputs genuinely depend on the inputs (nothing baked in).
+    got0 = loaded(pc0, img0, p20)
+    assert not np.allclose(
+        np.asarray(got0["final_boxes"]), np.asarray(got["final_boxes"])
     )

@@ -1,12 +1,15 @@
 """Pre-compute per-point segmentation/regression labels (parity with
 scripts/preprocessing/gen_label_segs.py + hf/core/label_seg_preprocessor.py).
 
-The online pipeline generates these labels per batch (vectorized, fast), so
-caching is optional; this tool exists for the workflow parity and to
-amortize label generation for repeated epochs over the full point cloud
-(pre-sampling). Cached npys hold rows [cls, x, y, z, l, w, h, ry] per point
-of the full (unsampled) frustum cloud; a process pool replaces the
-reference's os.fork worker loop.
+Workflow-parity note: the cache is write-only IN THE REFERENCE TOO — its
+reader chain (kitti_dataset.get_label_seg :259 -> kitti_utils.get_label_seg
+:58 -> label_seg_utils.get_label_seg :52) has zero callers anywhere in the
+reference tree, and the reference's actual RPN pipeline generates labels
+online per batch (kitti_dataset.py:390 generate_rpn_training_labels), exactly
+as this repo's dataset does (datasets/kitti/dataset.py:237). This tool mirrors
+the offline preprocessing script for workflow parity. Cached npys hold rows
+[cls, x, y, z, l, w, h, ry] per point of the full (unsampled) frustum cloud;
+a process pool replaces the reference's os.fork worker loop.
 
     python tools/gen_label_segs.py --dataset_dir /data/Kitti/object \
         --data_split train --out_dir /data/label_segs --workers 8
