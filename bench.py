@@ -28,6 +28,7 @@ Methodology notes (tunneled axon TPU):
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -58,6 +59,11 @@ def main():
 
     rpn_cfg = rpn_multiclass()
     rcnn_cfg = rcnn_multiclass()
+    # Inference compute dtype (A/B knob): HFR_COMPUTE_DTYPE=float32 to
+    # disable the bf16 default. Params stay f32; logits/geometry are f32.
+    dtype = os.environ.get("HFR_COMPUTE_DTYPE", "bfloat16")
+    rpn_cfg.model_config.compute_dtype = dtype
+    rcnn_cfg.model_config.compute_dtype = dtype
 
     rpn_model = RpnModel(
         config=rpn_cfg.model_config,

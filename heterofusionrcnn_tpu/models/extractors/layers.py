@@ -40,7 +40,10 @@ class DenseBN(nn.Module):
         if self.activation is not None:
             x = self.activation(x)
         if self.use_bn:
-            x = nn.BatchNorm(use_running_average=not training, momentum=0.99)(x)
+            x = nn.BatchNorm(
+                use_running_average=not training, momentum=0.99,
+                dtype=self.dtype,
+            )(x)
         return x
 
 
@@ -89,7 +92,10 @@ class DepthwiseConvOverK(nn.Module):
         if self.activation is not None:
             out = self.activation(out)
         if self.use_bn:
-            out = nn.BatchNorm(use_running_average=not training, momentum=0.99)(out)
+            out = nn.BatchNorm(
+                use_running_average=not training, momentum=0.99,
+                dtype=self.dtype,
+            )(out)
         return out
 
 
@@ -126,7 +132,10 @@ class SeparableConvOverK(nn.Module):
         if self.activation is not None:
             out = self.activation(out)
         if self.use_bn:
-            out = nn.BatchNorm(use_running_average=not training, momentum=0.99)(out)
+            out = nn.BatchNorm(
+                use_running_average=not training, momentum=0.99,
+                dtype=self.dtype,
+            )(out)
         return out
 
 
@@ -145,7 +154,10 @@ class ConvBNRelu(nn.Module):
             self.features, self.kernel, self.strides, padding="SAME",
             dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(use_running_average=not training, momentum=0.99)(x)
+        x = nn.BatchNorm(
+                use_running_average=not training, momentum=0.99,
+                dtype=self.dtype,
+            )(x)
         return nn.relu(x)
 
 
@@ -161,5 +173,8 @@ class ConvTransposeBNRelu(nn.Module):
         x = nn.ConvTranspose(
             self.features, self.kernel, (2, 2), padding="SAME", dtype=self.dtype
         )(x)
-        x = nn.BatchNorm(use_running_average=not training, momentum=0.99)(x)
+        x = nn.BatchNorm(
+                use_running_average=not training, momentum=0.99,
+                dtype=self.dtype,
+            )(x)
         return nn.relu(x)

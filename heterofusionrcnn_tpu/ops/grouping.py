@@ -200,9 +200,29 @@ def sort_neighbor_indices(
 
 def group_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather neighborhoods (grouping group_point): (B, N, C) x (B, P, S)
-    -> (B, P, S, C). Differentiable (XLA gather; grad is scatter-add, same as
-    the reference's registered gradient)."""
+    -> (B, P, S, C). Differentiable (grad is scatter-add, same as the
+    reference's registered gradient).
+
+    TPU + small N + bf16 features dispatches to a one-hot contraction:
+    per-row gathers over many small batch elements (the RCNN's 400-RoI
+    neighborhoods) are gather-overhead-bound (~45 ms/call at batch 4), while
+    the equivalent one-hot matmul rides the MXU (~5 ms). Exact for bf16: each
+    output row is 1.0 * one feature value — no accumulation rounding. The
+    f32 path keeps the flat gather (TPU f32 matmuls round through bf16
+    passes, which would change gather semantics)."""
     b, p, s = idx.shape
+    n = points.shape[1]
+    if (
+        jax.default_backend() == "tpu"
+        and n <= 1024
+        and points.dtype == jnp.bfloat16
+    ):
+        oh = (idx[..., None] == jnp.arange(n, dtype=jnp.int32)).astype(
+            points.dtype
+        )  # (B, P, S, N)
+        return jnp.einsum(
+            "bpsn,bnc->bpsc", oh, points, preferred_element_type=points.dtype
+        )
     flat = idx.reshape(b, p * s)
     out = jnp.take_along_axis(points, flat[..., None], axis=1)
     return out.reshape(b, p, s, points.shape[-1])

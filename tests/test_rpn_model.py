@@ -93,6 +93,37 @@ def test_rpn_train_step_decreases_loss():
     assert 0.0 <= float(metrics["seg_accuracy"]) <= 1.0
 
 
+def test_rpn_train_step_decreases_loss_bf16():
+    """compute_dtype=bfloat16 end-to-end: params stay f32, activations run
+    bf16 through Dense/BN (layers.py threads dtype into BatchNorm), logits
+    are cast back to f32 — training must stay finite and converge on a
+    re-fed batch just like the f32 path."""
+    _, ds, cluster_sizes = _setup()
+    cfg = rpn_unittest()
+    cfg.model_config.compute_dtype = "bfloat16"
+    batch = _batch(ds, cfg, 1)
+    model, variables = _init_model(cfg, cluster_sizes, batch)
+
+    # Params must remain f32 (mixed precision, not half precision).
+    for leaf in jax.tree_util.tree_leaves(variables["params"]):
+        assert leaf.dtype == jnp.float32
+
+    tx = build_optimizer(cfg.train_config.optimizer, world_size=1)
+    state = TrainState.create(
+        model.apply, variables["params"], variables["batch_stats"], tx
+    )
+    loss_fn = lambda preds: rpn_loss(preds, cfg.model_config)
+    train_step = make_rpn_train_step(loss_fn)
+
+    rng = jax.random.PRNGKey(42)
+    losses = []
+    for _ in range(3):
+        state, metrics, rng = train_step(state, batch, rng)
+        assert np.isfinite(float(metrics["total_loss"]))
+        losses.append(float(metrics["total_loss"]))
+    assert losses[-1] < losses[0]
+
+
 def test_rpn_val_forward_produces_proposals():
     cfg, ds, cluster_sizes = _setup()
     batch = _batch(ds, cfg, 1)

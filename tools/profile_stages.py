@@ -40,11 +40,15 @@ def timeit(fn, args, iters, warmup=3, sync=None):
     sync(out)
 
     t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
+    # Keep only the newest output reference: dispatch stays pipelined, but
+    # earlier outputs become garbage and their HBM is freed — holding all
+    # iters outputs OOMs on GB-sized intermediates.
+    for _ in range(iters):
+        out = fn(*args)
     # Sync ONLY the last output: the stream is in-order and each blocking
     # scalar read costs a full ~33 ms tunnel RTT (syncing all outputs adds
     # +33 ms/call of measurement bias).
-    sync(outs[-1])
+    sync(out)
     dt = time.perf_counter() - t0
     return dt / iters * 1000.0
 
@@ -68,6 +72,11 @@ def main():
     B = args.batch
     rpn_cfg = rpn_multiclass()
     rcnn_cfg = rcnn_multiclass()
+    # Match bench.py's dtype knob (bf16 default).
+    dtype_name = os.environ.get("HFR_COMPUTE_DTYPE", "bfloat16")
+    rpn_cfg.model_config.compute_dtype = dtype_name
+    rcnn_cfg.model_config.compute_dtype = dtype_name
+    act_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     rng = np.random.default_rng(0)
     batch = _random_rpn_batch(rpn_cfg, B, rng)
     pc = jnp.asarray(batch["point_cloud"])
@@ -127,7 +136,8 @@ def main():
     from heterofusionrcnn_tpu.models.extractors.pointcnn import PointCNN
 
     lc = rpn_cfg.model_config.layers_config
-    pcnn = PointCNN(lc.pc_pointcnn, name="pc")
+    mod_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else None
+    pcnn = PointCNN(lc.pc_pointcnn, dtype=mod_dtype, name="pc")
     pcnn_vars = jax.jit(lambda r, a: pcnn.init(r, a, None, False))(
         jax.random.PRNGKey(0), pts[:1]
     )
@@ -138,7 +148,7 @@ def main():
     )
 
     img_cls = ImgVgg if lc.img_extractor_type == "vgg" else ImgVggPyr
-    vgg = img_cls(lc.img_vgg_pyr, name="img")
+    vgg = img_cls(lc.img_vgg_pyr, dtype=mod_dtype, name="img")
     vgg_vars = jax.jit(lambda r, a: vgg.init(r, a, False))(
         jax.random.PRNGKey(0), preprocess_image(img[:1])
     )
@@ -242,12 +252,14 @@ def main():
     run("rcnn_pc_crop", crop_only, (proposals, pts, rpn_fts, inten, fg))
 
     # Stage-2 PointCNN alone.
-    s2 = PointCNN(rcnn_cfg.model_config.layers_config.rcnn_pc_pointcnn, name="s2")
+    s2 = PointCNN(rcnn_cfg.model_config.layers_config.rcnn_pc_pointcnn,
+                  dtype=mod_dtype, name="s2")
     N = B * n_prop
     Rc = rc.rcnn_proposal_roi_crop_size
     crop_pts = jnp.asarray(rng.standard_normal((N, Rc, 3)).astype(np.float32))
     merged = jnp.asarray(
-        rng.standard_normal((N, Rc, fts_dim + 256)).astype(np.float32)
+        rng.standard_normal((N, Rc, fts_dim + 256)).astype(np.float32),
+        dtype=act_dtype,
     )
     s2_vars = jax.jit(lambda r, a, f: s2.init(r, a, f, False))(
         jax.random.PRNGKey(2), crop_pts[:8], merged[:8]
@@ -278,7 +290,8 @@ def main():
         jax.jit(lambda f, i: group_point(f, i)),
         (merged, idx4),
     )
-    xc1 = XConv(K=4, D=1, C=512, C_pts_fts=128, depth_multiplier=4, name="xc1")
+    xc1 = XConv(K=4, D=1, C=512, C_pts_fts=128, depth_multiplier=4,
+                dtype=mod_dtype, name="xc1")
     xc1_vars = jax.jit(
         lambda r, p_, f_, q_: xc1.init(r, p_, f_, q_, False)
     )(jax.random.PRNGKey(3), crop_pts[:8], merged[:8], crop_pts[:8])
@@ -290,7 +303,7 @@ def main():
 
     # ---------------- RPN internals ---------------- #
     rpn_xc1 = XConv(K=8, D=1, C=256, C_pts_fts=128, depth_multiplier=4,
-                    name="rxc1")
+                    dtype=mod_dtype, name="rxc1")
     rpn_xc1_vars = jax.jit(
         lambda r, p_, q_: rpn_xc1.init(r, p_, None, q_, False)
     )(jax.random.PRNGKey(4), pts[:1], pts[:1])
@@ -327,8 +340,8 @@ def main():
         (head_vars, fused_fts),
     )
 
-    S = np.asarray([3.0, 3.0], np.float32)
-    DELTA = np.asarray([0.5, 0.5], np.float32)
+    S = np.asarray([3.0, 1.5, 1.5], np.float32)  # per-class (K,)
+    DELTA = np.asarray([0.5, 0.25, 0.25], np.float32)
 
     @jax.jit
     def parse_decode(out_flat, pts_):
