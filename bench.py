@@ -34,7 +34,7 @@ import time
 import numpy as np
 
 BASELINE_FPS = 50.0
-BATCH = 4
+BATCH = int(os.environ.get("HFR_BENCH_BATCH", "4"))
 ITERS = 15
 REPEAT = 3
 

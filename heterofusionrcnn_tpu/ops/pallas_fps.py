@@ -73,21 +73,28 @@ def farthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
       (B, npoint) int32 indices.
     """
     b, n, _ = xyz.shape
-    kernel = functools.partial(_fps_kernel, npoint=npoint, n=n, b=b)
+    # Batch tile: 3 coord arrays + dist scratch + output must fit VMEM
+    # (e.g. 1600 RoIs x 512 pts whole-batch blew the 16 MB scoped limit).
+    bt = b
+    for cand in range(b, 0, -1):
+        if b % cand == 0 and 5 * cand * n * 4 <= 8_000_000:
+            bt = cand
+            break
+    kernel = functools.partial(_fps_kernel, npoint=npoint, n=n, b=bt)
     interpret = jax.default_backend() != "tpu"
 
     xs = xyz[..., 0]
     ys = xyz[..., 1]
     zs = xyz[..., 2]
+    coord_spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         interpret=interpret,
+        grid=(b // bt,),
         out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((b, n), jnp.float32)],
+        in_specs=[coord_spec, coord_spec, coord_spec],
+        out_specs=pl.BlockSpec(
+            (bt, npoint), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((bt, n), jnp.float32)],
     )(xs, ys, zs)
