@@ -8,8 +8,12 @@ chosen split and writes the txt caches that KittiDataset reads at startup.
 
 from __future__ import annotations
 
-import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
 
 import numpy as np
 

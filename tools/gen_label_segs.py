@@ -17,9 +17,13 @@ a process pool replaces the reference's os.fork worker loop.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import multiprocessing as mp
-import os
 
 import numpy as np
 

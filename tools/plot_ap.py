@@ -11,10 +11,14 @@ prints the top-5 checkpoints per metric, and writes an AP-vs-step plot.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import glob
 import json
-import os
 import re
 
 

@@ -9,6 +9,11 @@ per step, then report the best checkpoints.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 from heterofusionrcnn_tpu.experiments import common

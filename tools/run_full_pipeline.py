@@ -13,8 +13,12 @@ just sequences them — the reference required four manual commands
 
 from __future__ import annotations
 
-import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
 
 import jax
 import numpy as np
