@@ -16,6 +16,7 @@ import time
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from heterofusionrcnn_tpu.configs.config import PipelineConfig, save_config
@@ -110,36 +111,41 @@ class MetricsLogger:
                 )
                 counts = jnp.zeros((64,), jnp.int32).at[idx].add(1)
                 edges = lo + span * (jnp.arange(1, 65, dtype=jnp.float32) / 64)
-                return {
-                    "min": lo, "max": hi, "sum": jnp.sum(x),
-                    "sum_sq": jnp.sum(x * x), "counts": counts,
-                    "edges": edges,
-                }
+                # One row per param: [min, max, sum, sum_sq, edges(64),
+                # counts(64)] — packed so the WHOLE histogram summary
+                # crosses to the host as ONE (P, 132) array. A per-leaf
+                # device_get costs one transport round trip per tensor
+                # (~33 ms each on tunneled devices — measured 4-6x training
+                # slowdown with a few hundred params).
+                return jnp.concatenate(
+                    [
+                        jnp.stack([lo, hi, jnp.sum(x), jnp.sum(x * x)]),
+                        edges,
+                        counts.astype(jnp.float32),
+                    ]
+                )
 
-            self._hist_fn = jax.jit(
-                lambda tree: jax.tree_util.tree_map(one, tree)
-            )
+            def packed(tree):
+                rows = [one(v) for v in jax.tree_util.tree_leaves(tree)]
+                return jnp.stack(rows)
+
+            self._hist_fn = jax.jit(packed)
 
         import numpy as np
 
         flat, _ = jax.tree_util.tree_flatten_with_path(params)
-        sizes = {jax.tree_util.keystr(kp): int(np.prod(v.shape))
-                 for kp, v in flat}
-        stats = jax.device_get(self._hist_fn(params))
-        sflat, _ = jax.tree_util.tree_flatten_with_path(
-            stats, is_leaf=lambda x: isinstance(x, dict) and "counts" in x
-        )
-        for kp, s in sflat:
+        stats = np.asarray(jax.device_get(self._hist_fn(params)))
+        for (kp, v), row in zip(flat, stats):
             name = jax.tree_util.keystr(kp).strip("[]'").replace("']['", "/")
             self._tb.add_histogram_raw(
                 tag=name,
-                min=float(s["min"]),
-                max=float(s["max"]),
-                num=sizes[jax.tree_util.keystr(kp)],
-                sum=float(s["sum"]),
-                sum_squares=float(s["sum_sq"]),
-                bucket_limits=np.asarray(s["edges"]).tolist(),
-                bucket_counts=np.asarray(s["counts"]).tolist(),
+                min=float(row[0]),
+                max=float(row[1]),
+                num=int(np.prod(v.shape)),
+                sum=float(row[2]),
+                sum_squares=float(row[3]),
+                bucket_limits=row[4:68].tolist(),
+                bucket_counts=row[68:132].astype(np.int64).tolist(),
                 global_step=step,
             )
 
@@ -297,7 +303,13 @@ def train(
         if step % log_every == 0:
             dt = time.time() - t_last
             t_last = time.time()
-            host_metrics = {k: float(v) for k, v in metrics.items()}
+            # One packed transfer — per-scalar float() pays one transport
+            # round trip per metric on tunneled devices.
+            names = sorted(metrics)
+            vals = np.asarray(
+                jax.device_get(jnp.stack([metrics[k] for k in names]))
+            )
+            host_metrics = dict(zip(names, map(float, vals)))
             host_metrics["steps_per_sec"] = log_every / max(dt, 1e-9)
             host_metrics["device_mem_mb"] = device_memory_mb()
             logger.log(step, host_metrics)
