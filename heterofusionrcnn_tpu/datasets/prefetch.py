@@ -22,10 +22,18 @@ class BatchPrefetcher:
         next_batch: Callable[[], dict],
         capacity: int = 4,
         num_threads: int = 1,
+        transform: Callable = None,
     ):
         # NOTE: num_threads > 1 requires next_batch to be thread-safe; the
         # KittiDataset epoch state is not, so per-dataset use one thread and
         # scale with processes/hosts instead.
+        # `transform` runs in the worker thread on each produced batch —
+        # the trainer passes the device_put/shard step here so the
+        # host->device upload overlaps the previous device step (on slow
+        # transports the upload otherwise serializes with compute).
+        if transform is not None:
+            base = next_batch
+            next_batch = lambda: transform(base())  # noqa: E731
         self._next_batch = next_batch
         self._queue: queue.Queue = queue.Queue(maxsize=capacity)
         self._stop = threading.Event()

@@ -281,24 +281,32 @@ def train(
     max_iters = tc.max_iterations // world
     rng = jax.random.PRNGKey(seed + 100)
 
-    # Overlap host-side batch prep with device steps (the reference loaded
-    # feed_dicts synchronously — its known input bottleneck, SURVEY.md §3.1).
+    # Overlap host-side batch prep AND the host->device upload with device
+    # steps (the reference loaded feed_dicts synchronously — its known
+    # input bottleneck, SURVEY.md §3.1; on slow transports the upload
+    # otherwise serializes with compute).
+    def prep(b):
+        return b, shard_batch(b, mesh)
+
     if prefetch > 0:
         from heterofusionrcnn_tpu.datasets.prefetch import BatchPrefetcher
 
-        prefetcher = BatchPrefetcher(next_batch, capacity=prefetch)
+        prefetcher = BatchPrefetcher(
+            next_batch, capacity=prefetch, transform=prep
+        )
         get_batch = prefetcher.next
     else:
         prefetcher = None
-        get_batch = next_batch
+        get_batch = lambda: prep(next_batch())  # noqa: E731
 
+    # Host-side step counter: int(state.step) every iteration would force
+    # a device sync per step (one transport RTT each).
     step = int(state.step)
     t_last = time.time()
     while step < max_iters:
-        host_batch = get_batch()
-        batch = shard_batch(host_batch, mesh)
+        host_batch, batch = get_batch()
         state, metrics, rng = train_step(state, batch, rng)
-        step = int(state.step)
+        step += 1
 
         if step % log_every == 0:
             dt = time.time() - t_last
