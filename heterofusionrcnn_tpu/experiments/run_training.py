@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--num_devices", type=int, default=None)
     parser.add_argument("--max_iterations", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile_steps", default=None,
+                        help="START:STOP step range captured with "
+                             "jax.profiler into <logs>/profile")
     parser.add_argument("--warm_start_from", default=None,
                         help="checkpoint dir for partial weight transfer "
                              "(e.g. RPN -> RCNN)")
@@ -62,6 +65,11 @@ def main():
         make_rpn_train_step if model_kind == "rpn" else common.make_rcnn_train_step
     )
 
+    profile_steps = None
+    if args.profile_steps:
+        a, b = args.profile_steps.split(":")
+        profile_steps = (int(a), int(b))
+
     train(
         model=model,
         loss_fn=loss_fn,
@@ -73,6 +81,7 @@ def main():
         num_devices=args.num_devices,
         seed=args.seed,
         init_params_from=init_params_from,
+        profile_steps=profile_steps,
     )
 
 

@@ -213,6 +213,7 @@ def train(
     init_rngs: Optional[dict] = None,
     log_every_steps: Optional[int] = None,
     prefetch: int = 2,
+    profile_steps: Optional[tuple] = None,
 ):
     """Generic two-stage trainer.
 
@@ -227,6 +228,10 @@ def train(
       num_devices: data-parallel world size (defaults to all).
       init_params_from: optional params pytree for warm start
         (RPN->RCNN transfer via checkpoint.restore_matching).
+      profile_steps: optional (start, stop) step range captured with
+        jax.profiler into <logs>/profile — the per-op replacement for the
+        reference's per-step wall-clock + MaxBytesInUse logging
+        (trainer.py:99); open the xplane trace in TensorBoard/XProf.
     Returns:
       final TrainState.
     """
@@ -303,7 +308,16 @@ def train(
     # a device sync per step (one transport RTT each).
     step = int(state.step)
     t_last = time.time()
+    profiling = False
     while step < max_iters:
+        if profile_steps is not None:
+            if step == profile_steps[0] and not profiling:
+                jax.profiler.start_trace(os.path.join(paths["logs"], "profile"))
+                profiling = True
+            elif step >= profile_steps[1] and profiling:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                profiling = False
         host_batch, batch = get_batch()
         state, metrics, rng = train_step(state, batch, rng)
         step += 1

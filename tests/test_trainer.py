@@ -176,3 +176,24 @@ def test_metrics_logger_summary_toggles(tmp_path):
     logger2.close()
 
     assert device_memory_mb() >= 0.0
+
+
+def test_trainer_profile_steps(fake_setup, tmp_path):
+    """profile_steps captures a jax.profiler trace into <logs>/profile."""
+    cfg, next_batch, out_root = fake_setup
+    model = FakeClassifier()
+    train(
+        model=model,
+        loss_fn=fake_loss,
+        make_train_step=make_fake_train_step,
+        init_batch=next_batch(),
+        next_batch=next_batch,
+        pipeline_cfg=cfg,
+        output_root=out_root,
+        num_devices=1,
+        prefetch=0,
+        profile_steps=(1, 3),
+    )
+    prof_dir = os.path.join(out_root, "fake_test", "logs", "profile")
+    files = glob.glob(os.path.join(prof_dir, "**", "*"), recursive=True)
+    assert any(os.path.isfile(f) for f in files)
