@@ -249,11 +249,23 @@ def _knn_sorted_kernel(q_ref, px_ref, oidx_ref, boxes_ref, out_d_ref,
             dy = qy - ys
             dz = qz - zs
             d = dx * dx + dy * dy + dz * dz  # (Q, TN)
-            best_d, best_i = _fold_tile_unsorted(
-                best_d_ref[:, :], best_i_ref[:, :], d, oid, k
-            )
-            best_d_ref[:, :] = best_d
-            best_i_ref[:, :] = best_i
+
+            # Fold guard: the bbox bound is loose — a tile can pass it yet
+            # contain no candidate closer than any row's current worst.
+            # One min-pass decides; the k-round fold (~6 passes each) is
+            # predicated out when no row can improve. Conservative on ties
+            # (<=): equal distance with a smaller id still folds.
+            row_min = jnp.min(d, axis=1, keepdims=True)        # (Q, 1)
+            row_worst = jnp.max(best_d_ref[:, :], axis=1, keepdims=True)
+            improvable = jnp.any(row_min <= row_worst)
+
+            @pl.when(improvable)
+            def _():
+                best_d, best_i = _fold_tile_unsorted(
+                    best_d_ref[:, :], best_i_ref[:, :], d, oid, k
+                )
+                best_d_ref[:, :] = best_d
+                best_i_ref[:, :] = best_i
 
         return 0
 

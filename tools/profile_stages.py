@@ -301,6 +301,59 @@ def main():
         (xc1_vars, crop_pts, merged, crop_pts),
     )
 
+    # XConv-internal bisection at the stage-2 xconv1 shapes: which of
+    # f_delta MLP / X-net / X-apply+separable owns the non-gather time.
+    import flax.linen as nn
+    from heterofusionrcnn_tpu.models.extractors.layers import (
+        ConvOverK, DenseBN, DepthwiseConvOverK, SeparableConvOverK,
+    )
+
+    nn_local = jnp.asarray(
+        rng.standard_normal((N, Rc, 4, 3)).astype(np.float32), dtype=act_dtype
+    )
+    nn_in = jnp.asarray(
+        rng.standard_normal((N, Rc, 4, 672)).astype(np.float32),
+        dtype=act_dtype,
+    )
+    x_kk = jnp.asarray(
+        rng.standard_normal((N, Rc, 4, 4)).astype(np.float32), dtype=act_dtype
+    )
+
+    class FDelta(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = DenseBN(128, dtype=mod_dtype, name="a")(x, False)
+            return DenseBN(128, dtype=mod_dtype, name="b")(x, False)
+
+    class XNet(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            b_, p_ = x.shape[:2]
+            x0 = ConvOverK(16, dtype=mod_dtype, name="X_0")(x, False)
+            x0 = x0.reshape(b_, p_, 4, 4)
+            x1 = DepthwiseConvOverK(4, dtype=mod_dtype, name="X_1")(x0, False)
+            x1 = x1.reshape(b_, p_, 4, 4)
+            x2 = DepthwiseConvOverK(4, activation=None, dtype=mod_dtype,
+                                    name="X_2")(x1, False)
+            return x2.reshape(b_, p_, 4, 4)
+
+    class XApplySep(nn.Module):
+        @nn.compact
+        def __call__(self, x2, fin):
+            fts_x = jnp.einsum("bpkj,bpjc->bpkc", x2, fin)
+            return SeparableConvOverK(512, 1, dtype=mod_dtype,
+                                      name="conv")(fts_x, False)
+
+    for nm, mod, fargs in [
+        ("s2_fdelta_mlp", FDelta(), (nn_local,)),
+        ("s2_xnet", XNet(), (nn_local,)),
+        ("s2_xapply_sep", XApplySep(), (x_kk, nn_in)),
+    ]:
+        vs = jax.jit(lambda r, *a, m=mod: m.init(r, *a))(
+            jax.random.PRNGKey(7), *(a[:8] for a in fargs)
+        )
+        run(nm, jax.jit(lambda v, *a, m=mod: m.apply(v, *a)), (vs, *fargs))
+
     # ---------------- RPN internals ---------------- #
     rpn_xc1 = XConv(K=8, D=1, C=256, C_pts_fts=128, depth_multiplier=4,
                     dtype=mod_dtype, name="rxc1")
