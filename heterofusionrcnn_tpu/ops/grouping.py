@@ -203,25 +203,29 @@ def group_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     -> (B, P, S, C). Differentiable (grad is scatter-add, same as the
     reference's registered gradient).
 
-    TPU + small N + bf16 features dispatches to a one-hot contraction:
-    per-row gathers over many small batch elements (the RCNN's 400-RoI
-    neighborhoods) are gather-overhead-bound (~45 ms/call at batch 4), while
-    the equivalent one-hot matmul rides the MXU (~5 ms). Exact for bf16: each
-    output row is 1.0 * one feature value — no accumulation rounding. The
-    f32 path keeps the flat gather (TPU f32 matmuls round through bf16
-    passes, which would change gather semantics)."""
+    TPU + small N dispatches to a one-hot contraction: per-row gathers over
+    many small batch elements (the RCNN's 400-RoI neighborhoods) are
+    gather-overhead-bound (~45 ms/call for the 544-ch features, 7 ms for
+    the coords at batch 4), while the equivalent one-hot matmul rides the
+    MXU (~5 / 3 ms). Exact in both dtypes: each output row is 1.0 * one
+    value — bf16 products with 1.0 are exact, and the f32 path pins
+    Precision.HIGHEST whose 6-pass split reproduces the f32 values bitwise
+    (verified == take_along_axis on chip)."""
     b, p, s = idx.shape
     n = points.shape[1]
-    if (
-        jax.default_backend() == "tpu"
-        and n <= 1024
-        and points.dtype == jnp.bfloat16
-    ):
+    if jax.default_backend() == "tpu" and n <= 1024:
         oh = (idx[..., None] == jnp.arange(n, dtype=jnp.int32)).astype(
             points.dtype
         )  # (B, P, S, N)
+        precision = (
+            None if points.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+        )
         return jnp.einsum(
-            "bpsn,bnc->bpsc", oh, points, preferred_element_type=points.dtype
+            "bpsn,bnc->bpsc",
+            oh,
+            points,
+            preferred_element_type=points.dtype,
+            precision=precision,
         )
     flat = idx.reshape(b, p * s)
     out = jnp.take_along_axis(points, flat[..., None], axis=1)

@@ -139,6 +139,27 @@ def main():
         nbad = int((np.asarray(i) != np.asarray(ir)).sum())
         print(f"KNN duplicates tie-break: FAIL ({nbad}/{i.size})")
 
+    # ---------------- group_point one-hot exactness ---------------- #
+    # TPU dispatches small-N gathers to one-hot contractions; both dtypes
+    # must reproduce take_along_axis bitwise (f32 via Precision.HIGHEST).
+    from heterofusionrcnn_tpu.ops.grouping import group_point
+
+    for name, dtype in (("f32", np.float32), ("bf16", jnp.bfloat16)):
+        pts2 = jnp.asarray(
+            rng.standard_normal((400, 512, 7)).astype(np.float32)
+        ).astype(dtype)
+        gidx = jnp.asarray(rng.integers(0, 512, (400, 512, 4)), jnp.int32)
+        got = jax.jit(group_point)(pts2, gidx)
+        want = jnp.take_along_axis(
+            pts2, gidx.reshape(400, -1)[..., None], axis=1
+        ).reshape(400, 512, 4, 7)
+        if bool(jnp.all(got == want)):
+            print(f"group_point one-hot {name}: OK")
+        else:
+            failures += 1
+            nbad = int(jnp.sum(got != want))
+            print(f"group_point one-hot {name}: FAIL ({nbad}/{got.size})")
+
     # ---------------- FPS exactness ---------------- #
     def fps_xla(xyz, npoint):
         def one_batch(pts):
