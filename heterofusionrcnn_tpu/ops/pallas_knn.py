@@ -327,12 +327,12 @@ def supported_query_tile(p: int):
     return p if p <= 512 else None
 
 
-# Candidate/query tile sizes for the sorted kernel. Swept on v5e
-# (16384^2, k=8, KITTI-like cloud): bigger candidate tiles amortize the
-# per-tile reduction latency (2048: 29 ms vs 512: 52 ms) and smaller query
-# tiles give tighter bboxes -> more skipping (128 beats 256 at every
-# tile_n).
-_SORTED_TILE_N = 2048
+# Candidate/query tile sizes for the sorted kernel, re-swept after the
+# fold-guard change (tools/sweep_knn_tiles.py on v5e, KITTI-like clouds):
+# 1024/128 now wins at every shape (the guard prunes whole-tile folds, so
+# smaller tiles skip more without paying the old per-tile fixed cost);
+# 128-query tiles give tighter bboxes than 256 at every tile_n.
+_SORTED_TILE_N = 1024
 _SORTED_TILE_Q = 128
 _SORTED_MIN_N = 4096  # below this the brute-force scan wins (sort overhead)
 
