@@ -103,7 +103,6 @@ def query_ball_point(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk_size"))
 def knn_point(
     k: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray, chunk_size: int = 1024
 ):
@@ -111,13 +110,31 @@ def knn_point(
 
     Dispatches to the fused Pallas kernel on TPU when shapes allow (~10x:
     the distance matrix never leaves VMEM); falls back to the matmul+top_k
-    formulation otherwise.
+    formulation otherwise. NOT jitted itself: the same-set detection
+    (`new_xyz is xyz`, which lets the sorted kernel reuse the candidates'
+    Morton sort for the queries) only works on the caller's actual objects
+    — under a jit boundary both arguments become distinct tracers.
 
     Args:
       xyz: (B, N, 3) source points; new_xyz: (B, P, 3) queries.
     Returns:
       dists: (B, P, k) squared distances (ascending); idx: (B, P, k) int32.
     """
+    return _knn_point_impl(
+        k, xyz, new_xyz, new_xyz is xyz, chunk_size=chunk_size
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "same_set", "chunk_size")
+)
+def _knn_point_impl(
+    k: int,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    same_set: bool,
+    chunk_size: int = 1024,
+):
     p = new_xyz.shape[1]
     n = xyz.shape[1]
 
@@ -132,7 +149,7 @@ def knn_point(
             supported_candidate_tile(n) is not None
             and supported_query_tile(p) is not None
         ):
-            return knn_pallas(k, xyz, new_xyz)
+            return knn_pallas(k, xyz, new_xyz, same_set=same_set)
 
     def per_chunk(q):
         d = pairwise_sqdist(q, xyz)

@@ -427,8 +427,10 @@ def _knn_pallas_sorted(k, xyz, new_xyz, same_set):
     return d, i
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def knn_pallas(k: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("k", "same_set"))
+def knn_pallas(
+    k: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray, same_set: bool = False
+):
     """Exact KNN via the fused Pallas kernels (sorted tile-skipping scan for
     large N, brute-force VMEM scan otherwise).
 
@@ -437,6 +439,10 @@ def knn_pallas(k: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray):
       xyz: (B, N, 3) candidate points; N a multiple of a supported tile
         (2048/512/128) or small.
       new_xyz: (B, P, 3) query points; P a multiple of the query tile.
+      same_set: STATIC flag from the caller that queries == candidates (an
+        `is` check inside a jit always sees distinct tracers, so it must be
+        decided before the jit boundary — ops.grouping.knn_point does).
+        Lets the sorted kernel reuse the candidates' Morton sort.
     Returns:
       dists (B, P, k) ascending squared distances; idx (B, P, k) int32.
     """
@@ -451,7 +457,7 @@ def knn_pallas(k: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray):
         and n % _SORTED_TILE_N == 0
         and p % _SORTED_TILE_Q == 0
     ):
-        return _knn_pallas_sorted(k, xyz, new_xyz, same_set=new_xyz is xyz)
+        return _knn_pallas_sorted(k, xyz, new_xyz, same_set=same_set)
 
     tile_n = supported_candidate_tile(n)
     tile_q = supported_query_tile(p)

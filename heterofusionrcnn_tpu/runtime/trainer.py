@@ -309,14 +309,20 @@ def train(
     step = int(state.step)
     t_last = time.time()
     profiling = False
+
+    def _stop_profile(st):
+        # block_until_ready is a no-op on some remote transports (CLAUDE.md)
+        # — force completion with a scalar device->host transfer instead.
+        float(jax.tree_util.tree_leaves(st.params)[0].ravel()[0])
+        jax.profiler.stop_trace()
+
     while step < max_iters:
         if profile_steps is not None:
             if step == profile_steps[0] and not profiling:
                 jax.profiler.start_trace(os.path.join(paths["logs"], "profile"))
                 profiling = True
             elif step >= profile_steps[1] and profiling:
-                jax.block_until_ready(state.params)
-                jax.profiler.stop_trace()
+                _stop_profile(state)
                 profiling = False
         host_batch, batch = get_batch()
         state, metrics, rng = train_step(state, batch, rng)
@@ -344,6 +350,11 @@ def train(
 
         if step % tc.checkpoint_interval == 0 or step == max_iters:
             ckpt.save(step, jax.device_get(state))
+
+    # Trace capture can outlive the loop when the stop step lands on or
+    # beyond max_iterations — flush it before shutdown or it is lost.
+    if profiling:
+        _stop_profile(state)
 
     if step % tc.checkpoint_interval != 0:
         ckpt.save(step, jax.device_get(state))

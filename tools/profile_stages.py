@@ -303,9 +303,8 @@ def main():
 
     # XConv-internal bisection at the stage-2 xconv1 shapes: which of
     # f_delta MLP / X-net / X-apply+separable owns the non-gather time.
-    import flax.linen as nn
     from heterofusionrcnn_tpu.models.extractors.layers import (
-        ConvOverK, DenseBN, DepthwiseConvOverK, SeparableConvOverK,
+        ConvOverK, DepthwiseConvOverK, SeparableConvOverK,
     )
 
     nn_local = jnp.asarray(

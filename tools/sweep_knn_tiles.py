@@ -45,8 +45,9 @@ def main():
             for name, cand, qrs in shapes:
                 if cand.shape[1] % tile_n or qrs.shape[1] % tile_q:
                     continue
+                same = cand is qrs
                 fn = jax.jit(
-                    lambda a, q, k=8: pk._knn_pallas_sorted(k, a, q, a is q)
+                    lambda a, q, k=8, s=same: pk._knn_pallas_sorted(k, a, q, s)
                 )
                 try:
                     ms = pipelined_ms(fn, (cand, qrs), iters=8, warmup=2)
