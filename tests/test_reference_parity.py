@@ -408,3 +408,40 @@ def test_compute_recall_iou_matches_reference():
             np.asarray(r, np.float64), np.asarray(mn, np.float64),
             err_msg=f"output {i}",
         )
+
+
+def test_flip_augmentation_matches_reference():
+    """Deterministic flip chain (points, boxes, ground plane, calib p2) vs
+    the reference's kitti_aug — the geometry that must agree for flipped
+    training samples to carry the same labels."""
+    from hf.datasets.kitti import kitti_aug as ref_aug
+
+    from heterofusionrcnn_tpu.datasets.kitti import augmentation as my_aug
+
+    rng = np.random.default_rng(11)
+    pts = rng.uniform([-30, -2, 0], [30, 3, 70], (500, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        ref_aug.flip_points(pts), my_aug.flip_points(pts)
+    )
+
+    boxes = np.concatenate(
+        [
+            rng.uniform(-20, 20, (12, 2)), rng.uniform(3, 60, (12, 1)),
+            rng.uniform(1, 4, (12, 3)), rng.uniform(-np.pi, np.pi, (12, 1)),
+        ],
+        -1,
+    ).astype(np.float32)
+    np.testing.assert_allclose(
+        ref_aug.flip_boxes_3d(boxes), my_aug.flip_boxes_3d(boxes)
+    )
+
+    gp = np.array([0.01, -1.0, 0.02, 1.65], np.float32)
+    np.testing.assert_allclose(
+        ref_aug.flip_ground_plane(gp), my_aug.flip_ground_plane(gp)
+    )
+
+    calib = ref_calib.read_calibration(REF_DATA + "/calib", 0)
+    img_shape = (370, 1224)
+    ref_p2 = ref_aug.flip_stereo_calib_p2(calib.p2, img_shape)
+    my_p2 = my_calib.flip_calib_p2(calib.p2, img_shape)
+    np.testing.assert_allclose(ref_p2, my_p2)
