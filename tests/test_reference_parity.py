@@ -445,3 +445,43 @@ def test_flip_augmentation_matches_reference():
     ref_p2 = ref_aug.flip_stereo_calib_p2(calib.p2, img_shape)
     my_p2 = my_calib.flip_calib_p2(calib.p2, img_shape)
     np.testing.assert_allclose(ref_p2, my_p2)
+
+
+def test_box_2d_projection_matches_reference():
+    """project_to_image_space (the 2D boxes written to the KITTI txt files,
+    which drive AP matching) vs the reference box_3d_projector — incl. the
+    None-discard and truncation rules."""
+    from hf.core import box_3d_projector as ref_proj
+
+    from heterofusionrcnn_tpu.runtime.kitti_writer import (
+        project_box_to_image_space,
+    )
+
+    calib = ref_calib.read_calibration(REF_DATA + "/calib", 6)
+    image_size = [1242, 375]
+    rng = np.random.default_rng(13)
+    n_none = n_box = 0
+    for _ in range(60):
+        box = np.array(
+            [
+                rng.uniform(-25, 25), rng.uniform(0, 3), rng.uniform(2, 70),
+                rng.uniform(1, 5), rng.uniform(1, 2.2), rng.uniform(1, 2),
+                rng.uniform(-np.pi, np.pi),
+            ],
+            np.float32,
+        )
+        ref = ref_proj.project_to_image_space(
+            box, calib.p2, truncate=True, image_size=image_size
+        )
+        mine = project_box_to_image_space(
+            box, calib.p2, image_size, truncate=True
+        )
+        if ref is None:
+            assert mine is None, box
+            n_none += 1
+        else:
+            assert mine is not None, box
+            np.testing.assert_allclose(ref, mine, rtol=1e-5, atol=1e-3)
+            n_box += 1
+    # The sweep must exercise both outcomes to be meaningful.
+    assert n_none > 0 and n_box > 0
