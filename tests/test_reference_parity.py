@@ -485,3 +485,58 @@ def test_box_2d_projection_matches_reference():
             n_box += 1
     # The sweep must exercise both outcomes to be meaningful.
     assert n_none > 0 and n_box > 0
+
+
+def test_point_area_filter_matches_reference():
+    """get_point_filter (area extents + ground-plane offset — determines
+    exactly which lidar points feed the network) vs the reference, on the
+    reference's bundled velodyne + planes."""
+    for idx in (1, 6):
+        pc = my_pc.get_lidar_point_cloud(
+            idx, REF_DATA + "/calib", REF_DATA + "/velodyne"
+        )[:, :3]
+        plane = ref_obj.get_road_plane(idx, REF_DATA + "/planes")
+        extents = np.array([[-40.0, 40.0], [-5.0, 3.0], [0.0, 70.0]])
+
+        ref_mask = ref_obj.get_point_filter(pc.T, extents, plane, 2.0)
+        my_mask = my_pc.get_area_filter(pc, extents, plane, 2.0)
+        np.testing.assert_array_equal(ref_mask, my_mask)
+
+        # And without the plane.
+        np.testing.assert_array_equal(
+            ref_obj.get_point_filter(pc.T, extents),
+            my_pc.get_area_filter(pc, extents),
+        )
+
+
+def test_difficulty_filter_matches_reference():
+    """Class + difficulty filtering (drives eval recall and clustering) vs
+    the reference KittiUtils tables, over the bundled labels x all tiers."""
+    from hf.datasets.kitti.kitti_utils import KittiUtils
+
+    # __init__ needs a full dataset; the filtering methods only need the
+    # class-level difficulty tables.
+    ref_ku = KittiUtils.__new__(KittiUtils)
+    had_bool = hasattr(np, "bool")
+    if not had_bool:
+        np.bool = bool  # removed alias the TF1-era reference uses
+    try:
+        for idx in (0, 3, 6, 9):
+            objs = ref_obj.read_labels(REF_DATA + "/label_2", idx)
+            mine_objs = my_labels.read_labels(REF_DATA + "/label_2", idx)
+            for diff in (None, 0, 1, 2):
+                ref_f = ref_ku.filter_labels(
+                    objs, classes=["Car", "Pedestrian", "Cyclist"],
+                    difficulty=diff,
+                )
+                my_f = my_labels.filter_labels(
+                    mine_objs, ["Car", "Pedestrian", "Cyclist"],
+                    difficulty=diff,
+                )
+                assert len(ref_f) == len(my_f), (idx, diff)
+                for r, m in zip(ref_f, my_f):
+                    assert r.type == m.type
+                    np.testing.assert_allclose(r.t, m.t)
+    finally:
+        if not had_bool:
+            del np.bool
