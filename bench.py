@@ -1,9 +1,10 @@
 """Benchmark: end-to-end two-stage (RPN -> RCNN) inference frames/sec/chip.
 
-Prints ONE JSON line first:
+Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
-then a second diagnostic JSON line with stage-split timings and per-block
-throughput so perf movement is attributable across rounds.
+plus a diagnostic JSON line on STDERR with stage-split timings and
+per-block throughput so perf movement is attributable across rounds
+(stderr so metric-line parsers see exactly one stdout line).
 
 Baseline target (BASELINE.json): >= 50 frames/sec/chip end-to-end RPN+RCNN
 on TPU v5e. Measures the fused single-process path (run_inference's splice):
@@ -29,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -198,6 +200,7 @@ def main():
                 }
             }
         ),
+        file=sys.stderr,
         flush=True,
     )
 
