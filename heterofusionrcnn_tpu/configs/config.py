@@ -218,6 +218,7 @@ class OptimizerConfig:
     staircase: bool = True
     momentum: float = 0.9
     use_moving_average: bool = False
+    moving_average_decay: float = 0.9999
 
 
 @dataclass

@@ -32,6 +32,7 @@ KEY_LABEL_SEG = "label_seg"
 KEY_LABEL_REG = "label_reg"
 KEY_LABEL_BOXES_3D = "label_boxes_3d"
 KEY_LABEL_NUM_BOXES = "label_num_boxes"
+KEY_LABEL_CLASSES = "label_classes"
 KEY_POINT_CLOUD = "point_cloud"
 KEY_IMAGE_INPUT = "image_input"
 KEY_STEREO_CALIB_P2 = "stereo_calib_p2"
@@ -239,6 +240,7 @@ class KittiDataset:
                 )
             else:
                 label_boxes_3d = np.zeros((1, 7), np.float32)
+                label_classes = np.zeros(1, np.float32)
                 label_seg = np.zeros(pc_sample_pts, np.float32)
                 label_reg = np.zeros((pc_sample_pts, 7), np.float32)
 
@@ -251,6 +253,9 @@ class KittiDataset:
                     KEY_LABEL_SEG: label_seg.astype(np.float32),
                     KEY_LABEL_REG: label_reg.astype(np.float32),
                     KEY_LABEL_BOXES_3D: label_boxes_3d.astype(np.float32),
+                    KEY_LABEL_CLASSES: np.asarray(
+                        label_classes, np.float32
+                    ),
                     KEY_POINT_CLOUD: sampled_pc,
                     KEY_IMAGE_INPUT: image_resized.astype(np.float32),
                     KEY_STEREO_CALIB_P2: p2.astype(np.float32),
@@ -360,6 +365,15 @@ class KittiDataset:
                     counts[i] = len(boxes)
                 batch_data[key] = padded
                 batch_data[KEY_LABEL_NUM_BOXES] = counts
+                continue
+            if key == KEY_LABEL_CLASSES:
+                # Same max-GT padding as the boxes (the reference passes real
+                # per-GT classes into compute_recall_iou, evaluator.py:299).
+                padded = np.zeros((batch_size, self.max_gt_boxes), np.float32)
+                for i, s in enumerate(samples):
+                    cls = s[key][: self.max_gt_boxes]
+                    padded[i, : len(cls)] = cls
+                batch_data[key] = padded
                 continue
             batch_data[key] = np.stack([s[key] for s in samples])
 

@@ -81,6 +81,7 @@ def build_model(cfg, dataset, mode: str, save_rpn_feature: bool = False):
         cls_neg_iou_hi=mb.cls_iou_3d_thresholds.neg_iou_hi,
         cls_pos_iou_lo=mb.cls_iou_3d_thresholds.pos_iou_lo,
         reg_pos_iou_lo=mb.reg_iou_3d_thresholds.pos_iou_lo,
+        bev_z_max=float(dataset.bev_extents[1, 1]),
     )
     return model, lambda preds: rcnn_loss(preds, mc)
 

@@ -68,6 +68,10 @@ class RcnnModel(nn.Module):
     cls_neg_iou_hi: float = 0.45
     cls_pos_iou_lo: float = 0.60
     reg_pos_iou_lo: float = 0.55
+    # Distance normalizer = BEV z-extent max from the dataset's area_extents
+    # (reference rcnn_model.py:83,514 self._bev_extents[1, 1]); builders set
+    # this from the dataset config.
+    bev_z_max: float = 70.0
 
     @property
     def bin_params(self):
@@ -147,9 +151,9 @@ class RcnnModel(nn.Module):
 
         # ---------------- local spatial features ---------------- #
         crop_pts_ct = canonical_transform(crop_pts, flat_proposals)
-        bev_z_max = 70.0  # area_extents z-max (kitti config)
         crop_distance = (
-            jnp.sqrt(jnp.sum(jnp.square(crop_pts), axis=-1)) / bev_z_max - 0.5
+            jnp.sqrt(jnp.sum(jnp.square(crop_pts), axis=-1)) / self.bev_z_max
+            - 0.5
         )
 
         if rc.rcnn_use_intensity_feature:

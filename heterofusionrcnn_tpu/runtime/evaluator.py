@@ -197,7 +197,7 @@ class RpnEvaluator:
             if self._has_labels:
                 m = int(batch["label_num_boxes"][0])
                 label_boxes = batch["label_boxes_3d"][0][:m]
-                label_cls = np.zeros(m, np.float32)
+                label_cls = batch["label_classes"][0][:m]
                 iou3d_table = preds["proposal_iou3d"][0][:n_valid, :m]
                 iou2d_table = preds["proposal_iou2d"][0][:n_valid, :m]
                 np.savetxt(os.path.join(iou_dir, name + ".txt"), iou3d_table)

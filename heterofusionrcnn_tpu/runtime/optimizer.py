@@ -7,9 +7,55 @@ trainer.py:80 slim create_train_op clip_gradient_norm)."""
 
 from __future__ import annotations
 
+from typing import Any, NamedTuple
+
+import jax
 import optax
 
 from heterofusionrcnn_tpu.configs.config import OptimizerConfig
+
+
+class ParamEmaState(NamedTuple):
+    """State for `param_ema`: the exponential moving average of params."""
+
+    ema: Any
+
+
+def param_ema(decay: float) -> optax.GradientTransformation:
+    """Track an EMA of the *post-step parameters* inside the optimizer state
+    (parity with tf.contrib.opt.MovingAverageOptimizer,
+    hf/builders/optimizer_builder.py:74-77: averaged variables are kept
+    alongside and swapped in at checkpoint time).
+
+    Chain this LAST so `updates` are the final applied updates; the EMA then
+    tracks exactly the parameters the step produces. Retrieve with
+    `get_ema_params(opt_state)`.
+    """
+
+    def init(params):
+        return ParamEmaState(ema=jax.tree_util.tree_map(lambda p: p, params))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("param_ema requires params")
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p, state.ema, new_params
+        )
+        return updates, ParamEmaState(ema=ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def get_ema_params(opt_state):
+    """Pull the averaged params out of a chain built with use_moving_average
+    (None if the chain has no ParamEmaState)."""
+    for s in jax.tree_util.tree_leaves(
+        opt_state, is_leaf=lambda x: isinstance(x, ParamEmaState)
+    ):
+        if isinstance(s, ParamEmaState):
+            return s.ema
+    return None
 
 
 def build_lr_schedule(cfg: OptimizerConfig, world_size: int = 1):
@@ -41,4 +87,6 @@ def build_optimizer(
     if grad_clip_norm and grad_clip_norm > 0:
         chain.append(optax.clip_by_global_norm(grad_clip_norm))
     chain.append(opt)
+    if cfg.use_moving_average:
+        chain.append(param_ema(cfg.moving_average_decay))
     return optax.chain(*chain)

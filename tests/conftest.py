@@ -20,3 +20,27 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--integration",
+        action="store_true",
+        default=False,
+        help="run the slow end-to-end integration tier (full model "
+        "train/eval loops, ~15-20 min extra)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """The default run is the fast tier (<10 min): tests marked
+    `integration` are skipped unless --integration (or an explicit -m
+    selection) is given."""
+    if config.getoption("--integration") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="integration tier: pass --integration")
+    for item in items:
+        if "integration" in item.keywords:
+            item.add_marker(skip)

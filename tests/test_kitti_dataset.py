@@ -110,6 +110,15 @@ def test_dataset_rpn_batch():
     # Foreground points carry their GT box as regression target.
     fg = segs > 0
     assert (np.abs(batch[KEY_LABEL_REG][fg]).sum(axis=1) > 0).all()
+    # Real per-GT classes ride along, padded like the boxes (the evaluator
+    # feeds them to compute_recall_iou — reference evaluator.py:299).
+    cls = batch["label_classes"]
+    assert cls.shape == (2, 32)
+    counts = batch["label_num_boxes"]
+    for i in range(2):
+        m = int(counts[i])
+        assert (cls[i, :m] >= 1).all()  # 1-based fg class ids
+        assert (cls[i, m:] == 0).all()
 
 
 def test_dataset_deterministic_with_seed():

@@ -155,3 +155,41 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got["out"]), np.asarray(want["out"]), atol=1e-5
     )
+
+
+def test_moving_average_optimizer():
+    """use_moving_average keeps a parameter EMA inside the optimizer state
+    (parity with optimizer_builder.py:74-77 MovingAverageOptimizer)."""
+    import jax.numpy as jnp
+    import optax
+
+    from heterofusionrcnn_tpu.configs.config import OptimizerConfig
+    from heterofusionrcnn_tpu.runtime.optimizer import (
+        build_optimizer,
+        get_ema_params,
+    )
+
+    cfg = OptimizerConfig(
+        optimizer_type="sgd",
+        initial_learning_rate=0.1,
+        use_moving_average=True,
+        moving_average_decay=0.5,
+    )
+    tx = build_optimizer(cfg, world_size=1, grad_clip_norm=0.0)
+    params = {"w": jnp.ones((3,), jnp.float32)}
+    state = tx.init(params)
+    assert get_ema_params(state) is not None
+
+    grads = {"w": jnp.ones((3,), jnp.float32)}
+    updates, state = tx.update(grads, state, params)
+    new_params = optax.apply_updates(params, updates)
+    # post-step params = 1 - 0.1 = 0.9; ema = 0.5*1.0 + 0.5*0.9 = 0.95
+    np.testing.assert_allclose(np.asarray(new_params["w"]), 0.9, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(get_ema_params(state)["w"]), 0.95, rtol=1e-6
+    )
+
+    # Without the flag there is no EMA in the state.
+    cfg.use_moving_average = False
+    tx2 = build_optimizer(cfg)
+    assert get_ema_params(tx2.init(params)) is None

@@ -12,6 +12,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.integration
+
 import jax
 
 from heterofusionrcnn_tpu.configs.presets import rcnn_unittest, rpn_unittest
