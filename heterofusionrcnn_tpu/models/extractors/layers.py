@@ -2,7 +2,8 @@
 hf/core/feature_extractors/tf_util.py).
 
 The pointfly convention is linear -> activation -> batch-norm (momentum 0.99,
-glorot-normal weights, no bias when BN is on). The reference's (1, K) "convs"
+epsilon 1e-3 — the tf.layers.batch_normalization defaults the reference
+inherits — glorot-normal weights, no bias when BN is on). The reference's (1, K) "convs"
 over the neighbor axis are expressed here as dense contractions — identical
 math, and XLA maps them straight onto the MXU instead of going through a conv
 lowering.
@@ -41,7 +42,7 @@ class DenseBN(nn.Module):
             x = self.activation(x)
         if self.use_bn:
             x = nn.BatchNorm(
-                use_running_average=not training, momentum=0.99,
+                use_running_average=not training, momentum=0.99, epsilon=1e-3,
                 dtype=self.dtype,
             )(x)
         return x
@@ -93,7 +94,7 @@ class DepthwiseConvOverK(nn.Module):
             out = self.activation(out)
         if self.use_bn:
             out = nn.BatchNorm(
-                use_running_average=not training, momentum=0.99,
+                use_running_average=not training, momentum=0.99, epsilon=1e-3,
                 dtype=self.dtype,
             )(out)
         return out
@@ -133,7 +134,7 @@ class SeparableConvOverK(nn.Module):
             out = self.activation(out)
         if self.use_bn:
             out = nn.BatchNorm(
-                use_running_average=not training, momentum=0.99,
+                use_running_average=not training, momentum=0.99, epsilon=1e-3,
                 dtype=self.dtype,
             )(out)
         return out
@@ -155,7 +156,7 @@ class ConvBNRelu(nn.Module):
             dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(
-                use_running_average=not training, momentum=0.99,
+                use_running_average=not training, momentum=0.99, epsilon=1e-3,
                 dtype=self.dtype,
             )(x)
         return nn.relu(x)
@@ -174,7 +175,7 @@ class ConvTransposeBNRelu(nn.Module):
             self.features, self.kernel, (2, 2), padding="SAME", dtype=self.dtype
         )(x)
         x = nn.BatchNorm(
-                use_running_average=not training, momentum=0.99,
+                use_running_average=not training, momentum=0.99, epsilon=1e-3,
                 dtype=self.dtype,
             )(x)
         return nn.relu(x)

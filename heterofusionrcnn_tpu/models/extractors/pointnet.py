@@ -34,7 +34,7 @@ class SharedMLP(nn.Module):
             x = nn.Dense(f, use_bias=False, name=f"mlp{i}")(x)
             x = nn.relu(x)
             x = nn.BatchNorm(
-                use_running_average=not training, momentum=0.99, name=f"bn{i}"
+                use_running_average=not training, momentum=0.99, epsilon=1e-3, name=f"bn{i}"
             )(x)
         return x
 
