@@ -50,7 +50,14 @@ def _pipelined_ms(fn, args, sync, iters):
     return (time.perf_counter() - t0) / iters * 1000.0
 
 
-def main():
+def build_stages(batch_size=BATCH, dtype=None):
+    """Build the fused two-stage inference path at production scale.
+
+    Returns a dict with the jitted stage fns (`rpn_stage`, `rcnn_stage`,
+    `fused`), their variables and device-resident inputs — shared between
+    bench.py and tools/flops_ledger.py so the ledger attributes exactly the
+    graph the benchmark measures.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -63,7 +70,8 @@ def main():
     rcnn_cfg = rcnn_multiclass()
     # Inference compute dtype (A/B knob): HFR_COMPUTE_DTYPE=float32 to
     # disable the bf16 default. Params stay f32; logits/geometry are f32.
-    dtype = os.environ.get("HFR_COMPUTE_DTYPE", "bfloat16")
+    if dtype is None:
+        dtype = os.environ.get("HFR_COMPUTE_DTYPE", "bfloat16")
     rpn_cfg.model_config.compute_dtype = dtype
     rcnn_cfg.model_config.compute_dtype = dtype
 
@@ -82,7 +90,7 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    batch = _random_rpn_batch(rpn_cfg, BATCH, rng)
+    batch = _random_rpn_batch(rpn_cfg, batch_size, rng)
     pc = jax.device_put(batch["point_cloud"])
     img = jax.device_put(batch["image_input"])
     p2 = jax.device_put(batch["stereo_calib_p2"])
@@ -113,6 +121,12 @@ def main():
     def rpn_stage(rpn_v, pc_, img_, p2_):
         return rpn_model.apply(rpn_v, pc_, img_, p2_, training=False)
 
+    # Shared-VGG fused mode (one image-extractor pass per frame): the default
+    # for the fused benchmark; HFR_SHARED_VGG=0 to A/B the reference-style
+    # recompute-in-both-stages behavior.
+    shared_vgg = os.environ.get("HFR_SHARED_VGG", "1") == "1"
+    rcnn_cfg.model_config.rcnn_config.rcnn_use_rpn_img_feature_map = shared_vgg
+
     @jax.jit
     def rcnn_stage(rcnn_v, rpn_out, img_, p2_):
         proposals = rpn_out["proposals"]
@@ -132,6 +146,7 @@ def main():
             img_,
             p2_,
             training=False,
+            img_feature_map=rpn_out["img_feature_map"] if shared_vgg else None,
         )
         return {
             "final_boxes": rcnn_out["final_boxes"],
@@ -142,6 +157,32 @@ def main():
     @jax.jit
     def fused(rpn_v, rcnn_v, pc_, img_, p2_):
         return rcnn_stage(rcnn_v, rpn_stage(rpn_v, pc_, img_, p2_), img_, p2_)
+
+    return {
+        "rpn_cfg": rpn_cfg,
+        "rcnn_cfg": rcnn_cfg,
+        "rpn_model": rpn_model,
+        "rcnn_model": rcnn_model,
+        "rpn_vars": rpn_vars,
+        "rcnn_vars": rcnn_vars,
+        "rpn_stage": rpn_stage,
+        "rcnn_stage": rcnn_stage,
+        "fused": fused,
+        "pc": pc,
+        "img": img,
+        "p2": p2,
+        "batch_size": batch_size,
+    }
+
+
+def main():
+    import jax  # noqa: F401
+
+    st = build_stages(BATCH)
+    fused = st["fused"]
+    rpn_stage, rcnn_stage = st["rpn_stage"], st["rcnn_stage"]
+    rpn_vars, rcnn_vars = st["rpn_vars"], st["rcnn_vars"]
+    pc, img, p2 = st["pc"], st["img"], st["p2"]
 
     args = (rpn_vars, rcnn_vars, pc, img, p2)
 

@@ -19,8 +19,19 @@ import os as _os
 
 # Persistent XLA compilation cache: repeated CLI invocations (train -> eval ->
 # train) reuse compiled executables instead of paying 10-60s compiles each.
-_os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    _os.path.join(_os.path.expanduser("~"), ".cache", "hfr_jax_cache"),
-)
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# Env vars are NOT enough here: the axon environment's sitecustomize.py
+# imports jax at interpreter startup (before any user code), so jax's config
+# has already read the (unset) env by the time this package is imported —
+# jax.config.update works regardless of import order. The axon IFRT plugin
+# routes compiles through its own fingerprint-keyed sidechannel that reads
+# the same jax cache dir (axon/register/ifrt.py _install_compile_cache_hooks),
+# so this enables warm compiles on the tunneled TPU too.
+if not _os.environ.get("HFR_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    if _jax.config.jax_compilation_cache_dir is None:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "hfr_jax_cache"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -71,6 +71,11 @@ class RcnnConfig:
     rcnn_theta_bin_num: int = 12
     rcnn_pooling_context_length: float = 1.0
     rcnn_fusion_method: str = "flat_concat"  # 'mean_concat' | 'flat_concat'
+    # Fused-inference option (TPU addition): crop image RoIs from stage-1's
+    # full-res feature map instead of running the RCNN's own image extractor
+    # again — one VGG pass per frame in the fused graph. Default off =
+    # reference behavior (each stage computes its own image features).
+    rcnn_use_rpn_img_feature_map: bool = False
 
 
 @dataclass

@@ -37,6 +37,11 @@ def build_fused_inference(rpn_cfg, rcnn_cfg, dataset):
         )
         zeros_iou = jax.numpy.zeros((B, n))
         zeros_gt = jax.numpy.zeros((B, n, 8))
+        shared_map = (
+            rpn_out["img_feature_map"]
+            if rcnn_cfg.model_config.rcnn_config.rcnn_use_rpn_img_feature_map
+            else None
+        )
         rcnn_out = rcnn_model.apply(
             rcnn_vars,
             proposals,
@@ -49,6 +54,7 @@ def build_fused_inference(rpn_cfg, rcnn_cfg, dataset):
             img,
             p2,
             training=False,
+            img_feature_map=shared_map,
         )
         return {
             "proposals": proposals,

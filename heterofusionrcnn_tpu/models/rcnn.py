@@ -97,6 +97,7 @@ class RcnnModel(nn.Module):
         img_input,          # (B, H, W, 3)
         calib_p2,           # (B, 3, 4)
         training: Optional[bool] = None,
+        img_feature_map=None,  # (B, H, W, C1) stage-1 map (shared-VGG mode)
     ):
         cfg = self.config
         rc = cfg.rcnn_config
@@ -116,13 +117,22 @@ class RcnnModel(nn.Module):
         # cropping/tf_cropping.py:36-52).
         rpn_fts = jax.lax.stop_gradient(rpn_fts)
 
-        img_cls = (
-            ImgVgg if cfg.layers_config.img_extractor_type == "vgg" else ImgVggPyr
-        )
-        img_extractor = img_cls(
-            cfg.layers_config.img_vgg_pyr, dtype=dtype, name="img_vgg_pyr"
-        )
-        img_fts = img_extractor(preprocess_image(img_input), training)
+        if img_feature_map is not None:
+            # Shared-VGG fused mode (rcnn_config.rcnn_use_rpn_img_feature_map):
+            # reuse stage-1's full-res map instead of recomputing it. The
+            # reference recomputes only because its stages are separate jobs
+            # (rcnn_model.py:124-202); a fused TPU graph shares one VGG pass.
+            img_fts = jax.lax.stop_gradient(img_feature_map)
+        else:
+            img_cls = (
+                ImgVgg
+                if cfg.layers_config.img_extractor_type == "vgg"
+                else ImgVggPyr
+            )
+            img_extractor = img_cls(
+                cfg.layers_config.img_vgg_pyr, dtype=dtype, name="img_vgg_pyr"
+            )
+            img_fts = img_extractor(preprocess_image(img_input), training)
 
         # ---------------- RoI pooling ---------------- #
         box_ind = jnp.repeat(jnp.arange(B, dtype=jnp.int32), n)  # (N,)

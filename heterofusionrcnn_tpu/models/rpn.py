@@ -347,6 +347,10 @@ class RpnModel(nn.Module):
             predictions["rpn_intensity"] = pc_intensity
             predictions["rpn_img_fts"] = proj_img_fts
             predictions["seg_logits"] = seg_logits
+            # Full-res image feature map for the shared-VGG fused mode: a
+            # fused TPU graph need not recompute image features in stage 2
+            # the way the reference's separate jobs do (rcnn_model.py:124).
+            predictions["img_feature_map"] = img_fts
 
         return predictions
 

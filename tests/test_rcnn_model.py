@@ -159,3 +159,40 @@ def test_rcnn_test_mode_without_labels():
     )
     assert "final_boxes" in preds
     assert "cls_logits" not in preds
+
+
+def test_rcnn_shared_img_feature_map_equivalence():
+    """Shared-VGG fused mode: passing stage-1's full-res image feature map
+    produces EXACTLY the output of running the RCNN's own extractor when the
+    image weights are identical (rcnn_use_rpn_img_feature_map contract)."""
+    cfg, model, variables, inputs = _model_and_vars()
+    test_model = RcnnModel(
+        config=cfg.model_config, num_classes=3, cluster_sizes=CLUSTERS,
+        mode="test",
+    )
+    own = test_model.apply(variables, *inputs.values(), training=False)
+
+    # Compute the map with the SAME weights the model's internal extractor
+    # uses, then feed it through the shared-map path.
+    from heterofusionrcnn_tpu.models.extractors.img_vgg_pyr import (
+        ImgVggPyr, preprocess_image,
+    )
+
+    vgg = ImgVggPyr(cfg.model_config.layers_config.img_vgg_pyr, name="img_vgg_pyr")
+    vgg_vars = {
+        "params": variables["params"]["img_vgg_pyr"],
+        "batch_stats": variables["batch_stats"]["img_vgg_pyr"],
+    }
+    fmap = vgg.apply(vgg_vars, preprocess_image(inputs["img_input"]), False)
+
+    shared = test_model.apply(
+        variables, *inputs.values(), training=False, img_feature_map=fmap
+    )
+    np.testing.assert_allclose(
+        np.asarray(shared["final_boxes"]), np.asarray(own["final_boxes"]),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(shared["final_scores"]), np.asarray(own["final_scores"]),
+        rtol=1e-6, atol=1e-6,
+    )
