@@ -100,6 +100,26 @@ class DepthwiseConvOverK(nn.Module):
         return out
 
 
+class _PointwiseParams(nn.Module):
+    """Param holder matching nn.Dense's variable layout ("kernel"/"bias")
+    without its forward pass — SeparableConvOverK composes the kernel into
+    the depthwise weight instead of applying it separately."""
+
+    in_features: int
+    features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", glorot, (self.in_features, self.features))
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class SeparableConvOverK(nn.Module):
     """pointfly.separable_conv2d with kernel (1, K) (pointfly.py:384-412):
     depthwise over the neighbor axis (depth_multiplier filters per channel)
@@ -117,19 +137,31 @@ class SeparableConvOverK(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool):
         b, p, k, c = x.shape
-        w = self.param("depthwise", glorot, (k, c, self.depth_multiplier))
+        dm = self.depth_multiplier
+        w = self.param("depthwise", glorot, (k, c, dm))
+        # Pointwise kernel lives in a "Dense_0" child scope with the exact
+        # (c*dm, features) layout flax Dense used in the factored form, so
+        # param trees / checkpoints / reference-weight injection paths are
+        # unchanged.
+        wp, bias = _PointwiseParams(
+            c * dm, self.features, use_bias=not self.use_bn, name="Dense_0"
+        )()
+        # Depthwise -> pointwise is a linear chain (no nonlinearity between:
+        # tf separable_conv2d semantics, pointfly.py:384-412), so compose the
+        # two weights in f32 — W[k,c,d] = sum_j Wd[k,c,j]*Wp[c*dm+j,d] — and
+        # contract ONCE: (B,P,K*C) @ (K*C,D) is an MXU-shaped matmul and the
+        # (B,P,C*dm) intermediate (1.1 GB at stage-2 layer-1 scale) never
+        # touches HBM. The ledger shows every stage HBM-bound, so bytes
+        # removed = time removed. Composition costs K*C*dm*D weight-FLOPs.
+        w_composed = jnp.einsum(
+            "kcj,cjd->kcd", w, wp.reshape(c, dm, self.features)
+        )
         if self.dtype is not None:
             x = x.astype(self.dtype)
-            w = w.astype(self.dtype)
-        mid = jnp.einsum("bpkc,kcj->bpcj", x, w).reshape(
-            b, p, c * self.depth_multiplier
-        )
-        out = nn.Dense(
-            self.features,
-            use_bias=not self.use_bn,
-            kernel_init=glorot,
-            dtype=self.dtype,
-        )(mid)
+            w_composed = w_composed.astype(self.dtype)
+        out = jnp.einsum("bpkc,kcd->bpd", x, w_composed)
+        if bias is not None:
+            out = out + bias
         if self.activation is not None:
             out = self.activation(out)
         if self.use_bn:
