@@ -75,6 +75,12 @@ def build_stages(batch_size=BATCH, dtype=None):
     rpn_cfg.model_config.compute_dtype = dtype
     rcnn_cfg.model_config.compute_dtype = dtype
 
+    # Image-resolution A/B knob: HFR_IMG_DOWNSAMPLE=2 runs the VGG at
+    # half-res (conv cost on v5e scales with pixels — STATUS.md).
+    img_ds = int(os.environ.get("HFR_IMG_DOWNSAMPLE", "1"))
+    rpn_cfg.model_config.layers_config.img_vgg_pyr.downsample = img_ds
+    rcnn_cfg.model_config.layers_config.img_vgg_pyr.downsample = img_ds
+
     rpn_model = RpnModel(
         config=rpn_cfg.model_config,
         num_classes=3,

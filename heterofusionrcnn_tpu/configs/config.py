@@ -161,6 +161,13 @@ class ImgVggPyrConfig:
     vgg_conv3: Tuple[int, int] = (3, 128)
     vgg_conv4: Tuple[int, int] = (3, 256)
     l2_weight_decay: float = 0.0005
+    # TPU addition: run the whole image extractor at input-res / downsample
+    # (avg-pooled input, feature map at reduced res). XLA's image-conv cost
+    # on v5e scales with pixels and is invariant to channel width (measured,
+    # STATUS.md), so downsample=2 cuts the VGG budget ~4x. Consumers scale
+    # lookup coords (RPN) — RoI crops use normalized boxes and need no
+    # change. 1 = reference behavior (full resolution).
+    downsample: int = 1
 
 
 @dataclass

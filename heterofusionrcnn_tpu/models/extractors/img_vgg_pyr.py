@@ -30,6 +30,30 @@ def preprocess_image(image: jnp.ndarray) -> jnp.ndarray:
     return image - means
 
 
+def _maybe_downsample(image: jnp.ndarray, ds: int) -> jnp.ndarray:
+    """Average-pool the input image by the config downsample factor (1 = the
+    reference's full-resolution behavior)."""
+    if ds <= 1:
+        return image
+    return nn.avg_pool(image, (ds, ds), (ds, ds))
+
+
+def _pool2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 max-pool robust to odd spatial dims: pads the trailing edge with
+    -inf so ceil-division sizes keep every pixel (a no-op at the reference's
+    even sizes)."""
+    pad_h, pad_w = x.shape[1] % 2, x.shape[2] % 2
+    return nn.max_pool(
+        x, (2, 2), (2, 2), padding=((0, pad_h), (0, pad_w))
+    )
+
+
+def _crop_to(x: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    """Crop a stride-2 ConvTranspose output (always even-sized) back to the
+    skip connection's spatial dims (no-op when they already match)."""
+    return x[:, : like.shape[1], : like.shape[2], :]
+
+
 class ImgVgg(nn.Module):
     """Plain VGG encoder + bilinear upsampling back to full resolution
     (reference img_vgg.py:31-122, upsampling_multiplier = downsampling
@@ -49,13 +73,14 @@ class ImgVgg(nn.Module):
                 )
             return x
 
+        image = _maybe_downsample(image, cfg.downsample)
         h, w = image.shape[1], image.shape[2]
         x = block(image, *cfg.vgg_conv1, "conv1")
-        x = nn.max_pool(x, (2, 2), (2, 2))
+        x = _pool2(x)
         x = block(x, *cfg.vgg_conv2, "conv2")
-        x = nn.max_pool(x, (2, 2), (2, 2))
+        x = _pool2(x)
         x = block(x, *cfg.vgg_conv3, "conv3")
-        x = nn.max_pool(x, (2, 2), (2, 2))
+        x = _pool2(x)
         x = block(x, *cfg.vgg_conv4, "conv4")
         return jax.image.resize(
             x, (x.shape[0], h, w, x.shape[3]), method="bilinear"
@@ -85,30 +110,31 @@ class ImgVggPyr(nn.Module):
                 )
             return x
 
+        image = _maybe_downsample(image, cfg.downsample)
         conv1 = block(image, *cfg.vgg_conv1, "conv1")
-        pool1 = nn.max_pool(conv1, (2, 2), (2, 2))
+        pool1 = _pool2(conv1)
         conv2 = block(pool1, *cfg.vgg_conv2, "conv2")
-        pool2 = nn.max_pool(conv2, (2, 2), (2, 2))
+        pool2 = _pool2(conv2)
         conv3 = block(pool2, *cfg.vgg_conv3, "conv3")
-        pool3 = nn.max_pool(conv3, (2, 2), (2, 2))
+        pool3 = _pool2(conv3)
         conv4 = block(pool3, *cfg.vgg_conv4, "conv4")
 
         up3 = ConvTransposeBNRelu(cfg.vgg_conv3[1], dtype=self.dtype, name="upconv3")(
             conv4, training
         )
         fuse3 = ConvBNRelu(cfg.vgg_conv2[1], dtype=self.dtype, name="pyramid_fusion3")(
-            jnp.concatenate([conv3, up3], axis=3), training
+            jnp.concatenate([conv3, _crop_to(up3, conv3)], axis=3), training
         )
         up2 = ConvTransposeBNRelu(cfg.vgg_conv2[1], dtype=self.dtype, name="upconv2")(
             fuse3, training
         )
         fuse2 = ConvBNRelu(cfg.vgg_conv1[1], dtype=self.dtype, name="pyramid_fusion2")(
-            jnp.concatenate([conv2, up2], axis=3), training
+            jnp.concatenate([conv2, _crop_to(up2, conv2)], axis=3), training
         )
         up1 = ConvTransposeBNRelu(cfg.vgg_conv1[1], dtype=self.dtype, name="upconv1")(
             fuse2, training
         )
         fuse1 = ConvBNRelu(cfg.vgg_conv1[1], dtype=self.dtype, name="pyramid_fusion1")(
-            jnp.concatenate([conv1, up1], axis=3), training
+            jnp.concatenate([conv1, _crop_to(up1, conv1)], axis=3), training
         )
         return fuse1

@@ -153,7 +153,12 @@ class RpnModel(nn.Module):
         # (reference :227-235). Clip to the image for safety (the frustum
         # filter guarantees in-bounds at load time).
         proj = rect_to_image(pc_pts_out, calib_p2)
-        H, W = img_input.shape[1], img_input.shape[2]
+        # Feature-map dims (== image dims / config downsample); projected
+        # pixel coords scale by the same factor.
+        H, W = img_fts.shape[1], img_fts.shape[2]
+        ds = cfg.layers_config.img_vgg_pyr.downsample
+        if ds > 1:
+            proj = proj / ds
         u = jnp.clip(proj[..., 0].astype(jnp.int32), 0, W - 1)
         v = jnp.clip(proj[..., 1].astype(jnp.int32), 0, H - 1)
         # Flat row gather (leading-axis gathers lower much better on TPU
