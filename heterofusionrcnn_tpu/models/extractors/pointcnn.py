@@ -17,9 +17,11 @@ dense contraction. Static shapes throughout — P comes from the config.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from heterofusionrcnn_tpu.configs.config import PointCNNConfig
@@ -34,11 +36,33 @@ from heterofusionrcnn_tpu.ops.grouping import (
     knn_point,
     sort_neighbor_indices,
 )
+from heterofusionrcnn_tpu.ops.pallas_xconv import fused_xconv, pick_tile
 from heterofusionrcnn_tpu.ops.sampling import (
     farthest_point_sample,
     gather_point,
     inverse_density_sampling,
 )
+
+
+def _fused_xconv_mode(
+    training: bool, p: int, k: int, cf: int, cp: int, d_out: int
+) -> str:
+    """'' = XLA module path; 'tpu' / 'interpret' = fused Pallas kernel.
+
+    The fused kernel is inference-only (the XLA path keeps autodiff for
+    training) and dispatches on TPU when the layer's weights + blocks fit
+    the VMEM budget; HFR_FUSED_XCONV_INTERPRET=1 forces interpret mode
+    off-TPU for equivalence tests; HFR_NO_FUSED_XCONV=1 disables it
+    everywhere (A/B knob)."""
+    if training or os.environ.get("HFR_NO_FUSED_XCONV"):
+        return ""
+    if pick_tile(p, k, cf, cp, d_out) == 0:
+        return ""
+    if jax.default_backend() == "tpu":
+        return "tpu"
+    if os.environ.get("HFR_FUSED_XCONV_INTERPRET") == "1":
+        return "interpret"
+    return ""
 
 
 class XConv(nn.Module):
@@ -80,6 +104,17 @@ class XConv(nn.Module):
         nn_pts = group_point(pts, idx)  # (B, P, K, 3)
         nn_pts_local = nn_pts - qrs[:, :, None, :]
 
+        mode = _fused_xconv_mode(
+            training,
+            qrs.shape[1],
+            self.K,
+            self.C_pts_fts,
+            0 if fts is None else fts.shape[-1],
+            self.C,
+        )
+        if mode:
+            return self._fused(pts, fts, qrs, idx, nn_pts_local, mode, training)
+
         # 2) lift points into feature space.
         f_delta = DenseBN(self.C_pts_fts, dtype=self.dtype, name="nn_fts_from_pts_0")(
             nn_pts_local, training
@@ -120,6 +155,104 @@ class XConv(nn.Module):
         if self.with_global:
             g = DenseBN(self.C // 4, dtype=self.dtype, name="fts_global_0")(qrs, training)
             g = DenseBN(self.C // 4, dtype=self.dtype, name="fts_global")(g, training)
+            return jnp.concatenate([g, out], axis=-1)
+        return out
+
+    def _fused(self, pts, fts, qrs, idx, nn_pts_local, mode, training):
+        """Inference path through the fused Pallas XConv kernel
+        (ops/pallas_xconv.py): the lift -> X-transform -> separable-conv
+        chain runs in VMEM instead of materializing (B, P, K, C)
+        intermediates in HBM.
+
+        The parameterized sublayers are invoked on 1-point dummies first so
+        the flax param tree is IDENTICAL to the XLA path (checkpoints and
+        reference-weight injection keep working); the kernel then reads the
+        created params/batch_stats directly."""
+        cd = self.dtype or jnp.float32
+
+        # Dummy calls create (or look up) params without real compute; XLA
+        # dead-code-eliminates them under jit.
+        dummy_local = nn_pts_local[:1, :1]  # (1, 1, K, 3)
+        d = DenseBN(self.C_pts_fts, dtype=self.dtype, name="nn_fts_from_pts_0")(
+            dummy_local, training
+        )
+        DenseBN(self.C_pts_fts, dtype=self.dtype, name="nn_fts_from_pts")(
+            d, training
+        )
+        if self.with_X_transformation:
+            x0 = ConvOverK(self.K * self.K, dtype=self.dtype, name="X_0")(
+                dummy_local, training
+            ).reshape(1, 1, self.K, self.K)
+            x1 = DepthwiseConvOverK(self.K, dtype=self.dtype, name="X_1")(
+                x0, training
+            ).reshape(1, 1, self.K, self.K)
+            DepthwiseConvOverK(
+                self.K, activation=None, dtype=self.dtype, name="X_2"
+            )(x1, training)
+        cin = self.C_pts_fts + (0 if fts is None else fts.shape[-1])
+        SeparableConvOverK(
+            self.C, self.depth_multiplier, dtype=self.dtype, name="fts_conv"
+        )(jnp.zeros((1, 1, self.K, cin), cd), training)
+
+        pv = self.variables["params"]
+        bs = self.variables["batch_stats"]
+
+        def bn(name, sub="BatchNorm_0"):
+            return (
+                pv[name][sub]["scale"],
+                pv[name][sub]["bias"],
+                bs[name][sub]["mean"],
+                bs[name][sub]["var"],
+            )
+
+        def bn_nested(name, inner):
+            return (
+                pv[name][inner]["BatchNorm_0"]["scale"],
+                pv[name][inner]["BatchNorm_0"]["bias"],
+                bs[name][inner]["BatchNorm_0"]["mean"],
+                bs[name][inner]["BatchNorm_0"]["var"],
+            )
+
+        params = {
+            "w1": pv["nn_fts_from_pts_0"]["Dense_0"]["kernel"],
+            "bn1": bn("nn_fts_from_pts_0"),
+            "w2": pv["nn_fts_from_pts"]["Dense_0"]["kernel"],
+            "bn2": bn("nn_fts_from_pts"),
+            "wd": pv["fts_conv"]["depthwise"],
+            "wp": pv["fts_conv"]["Dense_0"]["kernel"],
+            "bnc": bn("fts_conv"),
+        }
+        if self.with_X_transformation:
+            params.update(
+                wx0=pv["X_0"]["DenseBN_0"]["Dense_0"]["kernel"],
+                bnx0=bn_nested("X_0", "DenseBN_0"),
+                wx1=pv["X_1"]["depthwise"],
+                bnx1=bn("X_1"),
+                wx2=pv["X_2"]["depthwise"],
+                bnx2=bn("X_2"),
+            )
+
+        nn_fts_t = (
+            None
+            if fts is None
+            else group_point(fts, jnp.swapaxes(idx, 1, 2))  # (B, K, P, Cp)
+        )
+        out = fused_xconv(
+            nn_pts_local,
+            None if nn_fts_t is None else nn_fts_t.astype(cd),
+            params,
+            compute_dtype=cd,
+            with_x_transformation=self.with_X_transformation,
+            interpret=(mode == "interpret"),
+        )
+
+        if self.with_global:
+            g = DenseBN(self.C // 4, dtype=self.dtype, name="fts_global_0")(
+                qrs, training
+            )
+            g = DenseBN(self.C // 4, dtype=self.dtype, name="fts_global")(
+                g, training
+            )
             return jnp.concatenate([g, out], axis=-1)
         return out
 

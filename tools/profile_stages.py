@@ -303,8 +303,10 @@ def main():
 
     # XConv-internal bisection at the stage-2 xconv1 shapes: which of
     # f_delta MLP / X-net / X-apply+separable owns the non-gather time.
+    import flax.linen as nn
+
     from heterofusionrcnn_tpu.models.extractors.layers import (
-        ConvOverK, DepthwiseConvOverK, SeparableConvOverK,
+        ConvOverK, DenseBN, DepthwiseConvOverK, SeparableConvOverK,
     )
 
     nn_local = jnp.asarray(
@@ -367,8 +369,6 @@ def main():
 
     # Bin head: fused fts -> fc stack -> 228-wide output -> parse/decode.
     from heterofusionrcnn_tpu.core import bin_codec
-    from heterofusionrcnn_tpu.models.extractors.layers import DenseBN
-    import flax.linen as nn
 
     class Head(nn.Module):
         @nn.compact
