@@ -66,8 +66,16 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
 
 def gather_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Batched gather (sampling/tf_sampling.py gather_point): (B, N, C) x
-    (B, M) -> (B, M, C). Differentiable through XLA's native gather."""
-    return jnp.take_along_axis(points, idx[..., None], axis=-2)
+    (B, M) -> (B, M, C). Differentiable through XLA's native gather.
+
+    Flat leading-axis row form — measured faster than take_along_axis on
+    v5e for both narrow and wide rows (see group_point)."""
+    b, n, c = points.shape
+    m = idx.shape[1]
+    flat = points.reshape(b * n, c)
+    rows = (jnp.arange(b, dtype=jnp.int32)[:, None] * n + idx).reshape(-1)
+    out = jnp.take(flat, rows, axis=0) if c <= 8 else flat[rows]
+    return out.reshape(b, m, c)
 
 
 def inverse_density_sampling(
