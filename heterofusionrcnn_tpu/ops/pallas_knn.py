@@ -321,10 +321,15 @@ def supported_candidate_tile(n: int):
 
 
 def supported_query_tile(p: int):
-    """Query tile: 256 when divisible, else the whole query set if small."""
+    """Query tile: 256 when divisible, else the whole query set if small.
+
+    The tile is the block's sublane (second-minor) dimension over the
+    flattened (B*P, 3) query array, so Mosaic requires it divisible by 8
+    (blocks smaller than the array can't be ragged); tiny odd query counts
+    fall back to the XLA path (knn_pallas / ops.grouping.knn_point)."""
     if p % 256 == 0:
         return 256
-    return p if p <= 512 else None
+    return p if (p <= 512 and p % 8 == 0) else None
 
 
 # Candidate/query tile sizes for the sorted kernel, re-swept after the
@@ -461,7 +466,10 @@ def knn_pallas(
 
     tile_n = supported_candidate_tile(n)
     tile_q = supported_query_tile(p)
-    assert tile_n is not None and tile_q is not None, (n, p)
+    if tile_n is None or tile_q is None:
+        # Shapes outside the kernel's tiling (e.g. tiny unittest-scale
+        # clouds on a real chip) — exact XLA fallback, same semantics.
+        return _knn_reference_jnp(k, xyz, new_xyz)
 
     kernel = functools.partial(
         _knn_kernel, k=k, n_total=n, tile_q=tile_q, tile_n=tile_n
