@@ -72,3 +72,44 @@ def test_dataset_stats_histograms(tmp_path):
     assert stats["Car"]["count"] > 0
     assert stats["Car"]["l"]["mean"] > 2.0  # cars are car-sized
     assert (tmp_path / "hist_car.png").exists()
+
+
+def test_show_predictions_2d_cli(tmp_path):
+    # Synthesize a one-sample predictions tree: a proposal and a final
+    # detection near a plausible camera-space pose.
+    step = "7"
+    split = "val"
+    pred_root = tmp_path / "preds"
+    prop_dir = pred_root / "proposals_and_scores" / split / step
+    final_dir = pred_root / "final_predictions_and_scores" / split / step
+    prop_dir.mkdir(parents=True)
+    final_dir.mkdir(parents=True)
+    name = "000001"
+    np.savetxt(
+        prop_dir / f"{name}.txt",
+        np.array([[0.0, 1.6, 20.0, 3.8, 1.6, 1.5, 0.3, 0.8]]),
+    )
+    np.savetxt(
+        final_dir / f"{name}.txt",
+        np.array([
+            [0.5, 1.6, 21.0, 3.9, 1.7, 1.5, -0.2, 0.9, 0.0],
+            # Behind-camera box: must be dropped, not drawn as garbage.
+            [0.5, 1.6, -5.0, 3.9, 1.7, 1.5, 0.0, 0.95, 0.0],
+        ]),
+    )
+    out_dir = tmp_path / "imgs"
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "show_predictions_2d.py"),
+            "--dataset_dir", FIXTURE, "--data_split", split,
+            "--predictions_dir", str(pred_root),
+            "--views", "proposals,predictions,overlaid",
+            "--out_dir", str(out_dir), "--max_samples", "3",
+        ],
+        capture_output=True, text=True, cwd="/tmp",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    for view in ("proposals", "predictions", "overlaid"):
+        png = out_dir / view / step / f"{name}.png"
+        assert png.exists() and png.stat().st_size > 20000, view
