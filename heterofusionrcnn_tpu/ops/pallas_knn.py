@@ -64,9 +64,9 @@ def _knn_kernel(q_ref, px_ref, out_d_ref, out_i_ref, *, k, n_total,
         dz = qz - pz
         d = dx * dx + dy * dy + dz * dz  # (Q, TN)
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1) + start
-        # k statically-unrolled rounds of "next (d, col) strictly above the
-        # floor" — the tile's distance block stays read-only (a mutated copy
-        # carried through a fori_loop costs ~2MB of VMEM churn per round).
+        # k statically-unrolled extract-min rounds (destructive dm-masking
+        # inside _fold_tile; the block copy lives only within this tile
+        # iteration, never in the fori_loop carry).
         return _fold_tile(best_d, best_i, d, col, k)
 
     init = (
@@ -80,17 +80,21 @@ def _knn_kernel(q_ref, px_ref, out_d_ref, out_i_ref, *, k, n_total,
 
 def _fold_tile(best_d, best_i, d, col, k):
     """Fold a (Q, TN) distance block with candidate ids `col` into the sorted
-    running top-k (best_d, best_i), ordering by (distance, id)."""
-    tile_q = best_d.shape[0]
-    floor_d = jnp.full((tile_q, 1), -1.0, jnp.float32)
-    floor_i = jnp.full((tile_q, 1), -1, jnp.int32)
+    running top-k (best_d, best_i), ordering by (distance, id).
+
+    The k extraction rounds are Python-unrolled, so the working copy `dm`
+    can be masked destructively between rounds (pure SSA — the fori_loop
+    carry-churn caveat does not apply): each round blanks exactly the
+    element it extracted, ~4 elementwise passes + 2 lane-reductions per
+    round vs ~7 passes for the old read-only block + (floor_d, floor_i)
+    predicate form. Extraction sequence is identical."""
+    dm = d
     for _round in range(k):
-        above = (d > floor_d) | ((d == floor_d) & (col > floor_i))
-        dm = jnp.where(above, d, _BIG)
         tile_min = jnp.min(dm, axis=1, keepdims=True)  # (Q, 1)
         big_i = jnp.where(dm == tile_min, col, jnp.int32(2**30))
         tile_arg = jnp.min(big_i, axis=1, keepdims=True)
-        floor_d, floor_i = tile_min, tile_arg
+        if _round + 1 < k:
+            dm = jnp.where(big_i == tile_arg, _BIG, dm)
 
         kth_d = best_d[:, k - 1 : k]
         kth_i = best_i[:, k - 1 : k]
@@ -123,17 +127,17 @@ def _fold_tile_unsorted(best_d, best_i, d, col, k):
     worst slot if it improves. Avoids the per-round sorted-insert bubble
     (k passes over (Q, 1) column slices — the dominant small-op cost when
     tiles are processed many times). Slots hold unique (d, id) pairs:
-    initialize ids with distinct sentinels (_SENTINEL_I + slot)."""
-    tile_q = best_d.shape[0]
-    floor_d = jnp.full((tile_q, 1), -1.0, jnp.float32)
-    floor_i = jnp.full((tile_q, 1), -1, jnp.int32)
+    initialize ids with distinct sentinels (_SENTINEL_I + slot).
+
+    Extraction uses the same destructive dm-masking as _fold_tile (rounds
+    are unrolled, so the mutated copy is pure SSA)."""
+    dm = d
     for _round in range(k):
-        above = (d > floor_d) | ((d == floor_d) & (col > floor_i))
-        dm = jnp.where(above, d, _BIG)
         tile_min = jnp.min(dm, axis=1, keepdims=True)  # (Q, 1)
         big_i = jnp.where(dm == tile_min, col, jnp.int32(2**30))
         tile_arg = jnp.min(big_i, axis=1, keepdims=True)
-        floor_d, floor_i = tile_min, tile_arg
+        if _round + 1 < k:
+            dm = jnp.where(big_i == tile_arg, _BIG, dm)
 
         # Worst slot by (d, id) ordering; (d, id) pairs are unique so the
         # equality mask hits exactly one slot.
