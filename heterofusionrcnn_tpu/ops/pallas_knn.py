@@ -9,8 +9,9 @@ into a running top-K selection (K iterations of masked min per tile, exact,
 ties resolved to the lowest index like jax.lax.top_k).
 
 Two variants:
-  - `_knn_kernel`: brute force, candidates visited in index order. Used for
-    small N (e.g. the 512-point RoI neighborhoods in the RCNN).
+  - `_knn_kernel_t`: brute force, candidates visited in index order, fully
+    transposed (queries on lanes). Used for small N (e.g. the 512-point RoI
+    neighborhoods in the RCNN).
   - `_knn_sorted_kernel`: candidates AND queries are Morton-sorted over the
     BEV plane outside the kernel; candidate tiles carry precomputed bounding
     boxes and are visited outward from the query tile's own spatial region.
@@ -38,84 +39,80 @@ _BIG = 3.4e38
 _LB_SAFETY = 1.0 - 4e-6
 
 
-def _knn_kernel(q_ref, px_ref, out_d_ref, out_i_ref, *, k, n_total,
-                tile_q, tile_n):
-    """One program: TILE_Q queries vs all N points of their batch element.
+def _knn_kernel_t(q_ref, px_ref, out_d_ref, out_i_ref, *, k, n_total,
+                  tile_q, tile_n, k_pad):
+    """One program: TILE_Q queries (on LANES) vs all N candidates of their
+    batch element (on SUBLANES).
 
-    q_ref:  (TILE_Q, 3) query coordinates.
-    px_ref: (1, 3, N) the batch element's candidate points, SoA (VMEM).
-    out_d_ref: (TILE_Q, k) ascending squared distances.
-    out_i_ref: (TILE_Q, k) int32 indices.
+    Transposed layout: the old (Q, k) form kept the running top-k in
+    k-lane-wide arrays and did its sorted inserts on (Q, 1) column slices —
+    1 useful lane per 128. Measured on the RoI 512^2 k4 shape, that fold
+    was 5.5 ms of the kernel's 8.0 ms (distance+min 0.75, pipeline 1.74).
+    Here every hot array is full-lane: the top-k lives as k separate
+    (1, TILE_Q) rows, extraction reduces over sublanes (candidates), and
+    slot inserts are row-vs-row selects.
+
+    q_ref:  (1, 3, TILE_Q) query coordinates, SoA rows.
+    px_ref: (1, N, 3) candidate points (natural layout — no host transpose).
+    out_*:  (1, k_pad, TILE_Q); rows k..k_pad are sublane-alignment padding.
     """
-    qx = q_ref[:, 0:1]  # (Q, 1)
-    qy = q_ref[:, 1:2]
-    qz = q_ref[:, 2:3]
+    qx = q_ref[0, 0:1, :]  # (1, TQ)
+    qy = q_ref[0, 1:2, :]
+    qz = q_ref[0, 2:3, :]
 
     num_tiles = n_total // tile_n
 
     def tile_body(t, carry):
-        best_d, best_i = carry  # (Q, k) each
         start = t * tile_n
-        px = px_ref[0, 0:1, pl.ds(start, tile_n)]  # (1, TN)
-        py = px_ref[0, 1:2, pl.ds(start, tile_n)]
-        pz = px_ref[0, 2:3, pl.ds(start, tile_n)]
-        dx = qx - px
-        dy = qy - py
-        dz = qz - pz
-        d = dx * dx + dy * dy + dz * dz  # (Q, TN)
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1) + start
-        # k statically-unrolled extract-min rounds (destructive dm-masking
-        # inside _fold_tile; the block copy lives only within this tile
-        # iteration, never in the fori_loop carry).
-        return _fold_tile(best_d, best_i, d, col, k)
+        blk = px_ref[0, pl.ds(start, tile_n), :]  # (TN, 3)
+        dx = blk[:, 0:1] - qx                      # (TN, TQ)
+        dy = blk[:, 1:2] - qy
+        dz = blk[:, 2:3] - qz
+        d = dx * dx + dy * dy + dz * dz
+        cid = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile_n, tile_q), 0) + start
+        )
+        return _fold_tile_t(carry, d, cid, k)
 
-    init = (
-        jnp.full((tile_q, k), _BIG, jnp.float32),
-        jnp.full((tile_q, k), 2**30, jnp.int32),
-    )
-    best_d, best_i = jax.lax.fori_loop(0, num_tiles, tile_body, init)
-    out_d_ref[:, :] = best_d
-    out_i_ref[:, :] = best_i
+    init = tuple(
+        jnp.full((1, tile_q), _BIG, jnp.float32) for _ in range(k)
+    ) + tuple(jnp.full((1, tile_q), 2**30, jnp.int32) for _ in range(k))
+    slots = jax.lax.fori_loop(0, num_tiles, tile_body, init)
+    pad_d = [jnp.full((1, tile_q), _BIG, jnp.float32)] * (k_pad - k)
+    pad_i = [jnp.full((1, tile_q), 2**30, jnp.int32)] * (k_pad - k)
+    out_d_ref[0] = jnp.concatenate(list(slots[:k]) + pad_d, axis=0)
+    out_i_ref[0] = jnp.concatenate(list(slots[k:]) + pad_i, axis=0)
 
 
-def _fold_tile(best_d, best_i, d, col, k):
-    """Fold a (Q, TN) distance block with candidate ids `col` into the sorted
-    running top-k (best_d, best_i), ordering by (distance, id).
-
-    The k extraction rounds are Python-unrolled, so the working copy `dm`
-    can be masked destructively between rounds (pure SSA — the fori_loop
-    carry-churn caveat does not apply): each round blanks exactly the
-    element it extracted, ~4 elementwise passes + 2 lane-reductions per
-    round vs ~7 passes for the old read-only block + (floor_d, floor_i)
-    predicate form. Extraction sequence is identical."""
+def _fold_tile_t(slots, d, cid, k):
+    """Fold a transposed (TN, TQ) distance block into the running top-k held
+    as 2k full-lane (1, TQ) rows (k distances then k ids), ordered ascending
+    by (distance, id). k extract-min rounds with destructive dm-masking
+    (rounds are unrolled — the mutated copy is pure SSA), sorted bubble
+    insert across the k rows."""
+    best_d = list(slots[:k])
+    best_i = list(slots[k:])
     dm = d
     for _round in range(k):
-        tile_min = jnp.min(dm, axis=1, keepdims=True)  # (Q, 1)
-        big_i = jnp.where(dm == tile_min, col, jnp.int32(2**30))
-        tile_arg = jnp.min(big_i, axis=1, keepdims=True)
+        tmin = jnp.min(dm, axis=0, keepdims=True)  # (1, TQ)
+        bigi = jnp.where(dm == tmin, cid, jnp.int32(2**30))
+        targ = jnp.min(bigi, axis=0, keepdims=True)
         if _round + 1 < k:
-            dm = jnp.where(big_i == tile_arg, _BIG, dm)
+            dm = jnp.where(bigi == targ, _BIG, dm)
 
-        kth_d = best_d[:, k - 1 : k]
-        kth_i = best_i[:, k - 1 : k]
-        take = (tile_min < kth_d) | ((tile_min == kth_d) & (tile_arg < kth_i))
-        new_d = jnp.where(take, tile_min, kth_d)
-        new_i = jnp.where(take, tile_arg, kth_i)
-
-        cols_d = []
-        cols_i = []
-        cur_d, cur_i = new_d, new_i
+        take = (tmin < best_d[k - 1]) | (
+            (tmin == best_d[k - 1]) & (targ < best_i[k - 1])
+        )
+        cur_d = jnp.where(take, tmin, best_d[k - 1])
+        cur_i = jnp.where(take, targ, best_i[k - 1])
         for slot in range(k):
-            sd = best_d[:, slot : slot + 1]
-            si = best_i[:, slot : slot + 1]
+            sd, si = best_d[slot], best_i[slot]
             swap = (cur_d < sd) | ((cur_d == sd) & (cur_i < si))
-            cols_d.append(jnp.where(swap, cur_d, sd))
-            cols_i.append(jnp.where(swap, cur_i, si))
+            best_d[slot] = jnp.where(swap, cur_d, sd)
+            best_i[slot] = jnp.where(swap, cur_i, si)
             cur_d = jnp.where(swap, sd, cur_d)
             cur_i = jnp.where(swap, si, cur_i)
-        best_d = jnp.concatenate(cols_d, axis=1)
-        best_i = jnp.concatenate(cols_i, axis=1)
-    return best_d, best_i
+    return tuple(best_d) + tuple(best_i)
 
 
 _SENTINEL_I = 2**30
@@ -129,8 +126,8 @@ def _fold_tile_unsorted(best_d, best_i, d, col, k):
     tiles are processed many times). Slots hold unique (d, id) pairs:
     initialize ids with distinct sentinels (_SENTINEL_I + slot).
 
-    Extraction uses the same destructive dm-masking as _fold_tile (rounds
-    are unrolled, so the mutated copy is pure SSA)."""
+    Extraction uses the same destructive dm-masking as _fold_tile_t
+    (rounds are unrolled, so the mutated copy is pure SSA)."""
     dm = d
     for _round in range(k):
         tile_min = jnp.min(dm, axis=1, keepdims=True)  # (Q, 1)
@@ -325,15 +322,14 @@ def supported_candidate_tile(n: int):
 
 
 def supported_query_tile(p: int):
-    """Query tile: 256 when divisible, else the whole query set if small.
-
-    The tile is the block's sublane (second-minor) dimension over the
-    flattened (B*P, 3) query array, so Mosaic requires it divisible by 8
-    (blocks smaller than the array can't be ragged); tiny odd query counts
-    fall back to the XLA path (knn_pallas / ops.grouping.knn_point)."""
+    """Query tile for the transposed brute kernel. Queries sit on the LANE
+    dimension, so a partial tile must be a multiple of 128; a tile equal to
+    the full query count is always legal (the block spans the array)."""
     if p % 256 == 0:
         return 256
-    return p if (p <= 512 and p % 8 == 0) else None
+    if p % 128 == 0:
+        return 128
+    return p if p <= 512 else None
 
 
 # Candidate/query tile sizes for the sorted kernel, re-swept after the
@@ -471,43 +467,45 @@ def knn_pallas(
     tile_n = supported_candidate_tile(n)
     tile_q = supported_query_tile(p)
     if tile_n is None or tile_q is None:
-        # Shapes outside the kernel's tiling (e.g. tiny unittest-scale
-        # clouds on a real chip) — exact XLA fallback, same semantics.
+        # Shapes outside the kernel's tiling — exact XLA fallback, same
+        # semantics.
         return _knn_reference_jnp(k, xyz, new_xyz)
 
+    k_pad = 8 if k <= 8 else 16
     kernel = functools.partial(
-        _knn_kernel, k=k, n_total=n, tile_q=tile_q, tile_n=tile_n
+        _knn_kernel_t, k=k, n_total=n, tile_q=tile_q, tile_n=tile_n,
+        k_pad=k_pad,
     )
 
-    # Flat grid over all (batch, query-tile) pairs in one pallas_call —
-    # vmap-of-pallas_call pays heavy per-instance overhead (measured ~10x
-    # on the RCNN's 400-RoI KNN).
-    qt_per_b = p // tile_q
-    xyz_t = jnp.swapaxes(xyz, 1, 2)  # (B, 3, N) SoA
+    q_t = jnp.swapaxes(new_xyz, 1, 2)  # (B, 3, P) SoA
     d, i = pl.pallas_call(
         kernel,
-        grid=(b * qt_per_b,),
+        grid=(b, p // tile_q),
         in_specs=[
             pl.BlockSpec(
-                (tile_q, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (1, 3, tile_q), lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 3, n),
-                lambda i: (i // qt_per_b, 0, 0),
-                memory_space=pltpu.VMEM,
+                (1, n, 3), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (tile_q, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (1, k_pad, tile_q), lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (tile_q, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (1, k_pad, tile_q), lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * p, k), jnp.float32),
-            jax.ShapeDtypeStruct((b * p, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, k_pad, p), jnp.float32),
+            jax.ShapeDtypeStruct((b, k_pad, p), jnp.int32),
         ],
-    )(new_xyz.reshape(b * p, 3), xyz_t)
-    return d.reshape(b, p, k), i.reshape(b, p, k)
+    )(q_t, xyz)
+    return (
+        jnp.swapaxes(d[:, :k], 1, 2),
+        jnp.swapaxes(i[:, :k], 1, 2),
+    )
