@@ -12,7 +12,7 @@ Two variants:
   - `_knn_kernel_t`: brute force, candidates visited in index order, fully
     transposed (queries on lanes). Used for small N (e.g. the 512-point RoI
     neighborhoods in the RCNN).
-  - `_knn_sorted_kernel`: candidates AND queries are Morton-sorted over the
+  - `_knn_sorted_kernel_t`: candidates AND queries are Morton-sorted over the
     BEV plane outside the kernel; candidate tiles carry precomputed bounding
     boxes and are visited outward from the query tile's own spatial region.
     A tile whose bbox lower-bound distance exceeds the current k-th best
@@ -115,63 +115,6 @@ def _fold_tile_t(slots, d, cid, k):
     return tuple(best_d) + tuple(best_i)
 
 
-_SENTINEL_I = 2**30
-
-
-def _fold_tile_unsorted(best_d, best_i, d, col, k):
-    """Fold a (Q, TN) distance block into UNSORTED k slots: each round
-    extracts the tile's next (distance, id) minimum and replaces the current
-    worst slot if it improves. Avoids the per-round sorted-insert bubble
-    (k passes over (Q, 1) column slices — the dominant small-op cost when
-    tiles are processed many times). Slots hold unique (d, id) pairs:
-    initialize ids with distinct sentinels (_SENTINEL_I + slot).
-
-    Extraction uses the same destructive dm-masking as _fold_tile_t
-    (rounds are unrolled, so the mutated copy is pure SSA)."""
-    dm = d
-    for _round in range(k):
-        tile_min = jnp.min(dm, axis=1, keepdims=True)  # (Q, 1)
-        big_i = jnp.where(dm == tile_min, col, jnp.int32(2**30))
-        tile_arg = jnp.min(big_i, axis=1, keepdims=True)
-        if _round + 1 < k:
-            dm = jnp.where(big_i == tile_arg, _BIG, dm)
-
-        # Worst slot by (d, id) ordering; (d, id) pairs are unique so the
-        # equality mask hits exactly one slot.
-        worst_d = jnp.max(best_d, axis=1, keepdims=True)
-        worst_i = jnp.max(
-            jnp.where(best_d == worst_d, best_i, -1), axis=1, keepdims=True
-        )
-        take = (tile_min < worst_d) | (
-            (tile_min == worst_d) & (tile_arg < worst_i)
-        )
-        slot = (best_d == worst_d) & (best_i == worst_i)
-        repl = take & slot
-        best_d = jnp.where(repl, tile_min, best_d)
-        best_i = jnp.where(repl, tile_arg, best_i)
-    return best_d, best_i
-
-
-def _sort_slots(best_d, best_i, k):
-    """Sort unsorted (Q, k) slots ascending by (distance, id): k rounds of
-    extract-min over the k lanes (cheap — (Q, k) arrays)."""
-    out_d = []
-    out_i = []
-    for r in range(k):
-        m = jnp.min(best_d, axis=1, keepdims=True)
-        mi = jnp.min(
-            jnp.where(best_d == m, best_i, jnp.int32(2**31 - 1)),
-            axis=1,
-            keepdims=True,
-        )
-        out_d.append(m)
-        out_i.append(mi)
-        used = (best_d == m) & (best_i == mi)
-        best_d = jnp.where(used, _BIG, best_d)
-        best_i = jnp.where(used, jnp.int32(2**31 - 1), best_i)
-    return jnp.concatenate(out_d, axis=1), jnp.concatenate(out_i, axis=1)
-
-
 def _zigzag_tile(j, center, num_tiles):
     """j-th tile index when visiting tiles by |t - center| (no duplicates)."""
     left = center
@@ -186,27 +129,29 @@ def _zigzag_tile(j, center, num_tiles):
     )
 
 
-def _knn_sorted_kernel(q_ref, px_ref, oidx_ref, boxes_ref, out_d_ref,
-                       out_i_ref, best_d_ref, best_i_ref, *, k, num_tiles,
-                       tile_q, tile_n, qt_per_b):
-    """One program: TILE_Q Morton-sorted queries vs all candidate tiles of
-    their batch element, visited outward from the query tile's own spatial
-    region with bbox skipping.
+def _knn_sorted_kernel_t(q_ref, px_ref, oidx_ref, boxes_ref, out_d_ref,
+                         out_i_ref, bd_ref, bi_ref, *, k, num_tiles,
+                         tile_q, tile_n, qt_per_b, k_pad):
+    """One program: TILE_Q Morton-sorted queries (on LANES) vs all candidate
+    tiles of their batch element (candidates on SUBLANES), visited outward
+    from the query tile's own spatial region with bbox skipping.
 
-    The running top-k lives in VMEM scratch and the fold is guarded by
-    @pl.when — a genuinely predicated region, so skipped tiles cost only the
-    ~20 scalar ops of the bbox test (lax.cond with a vector carry lowers to
-    a select that executes both branches: measured zero savings).
+    Transposed like _knn_kernel_t: the running top-k lives as sorted
+    full-lane rows of a (k_pad, TILE_Q) VMEM scratch — the old (Q, k)
+    layout spent most of its time on 1-lane-wide slot ops, and its
+    unsorted-slot + final-sort workaround becomes unnecessary (row inserts
+    are cheap). The fold is guarded by @pl.when — a genuinely predicated
+    region, so skipped tiles cost only the ~20 scalar ops of the bbox test.
 
-    q_ref:     (TILE_Q, 3) query coordinates (Morton-sorted order).
-    px_ref:    (1, T, 3, TILE_N) candidate tiles, SoA within each tile.
-    oidx_ref:  (1, T, 1, TILE_N) int32 ORIGINAL index of each candidate.
+    q_ref:     (1, 3, TILE_Q) query coordinates (Morton-sorted), SoA rows.
+    px_ref:    (1, T, TILE_N, 3) candidate tiles (natural minor layout).
+    oidx_ref:  (1, T, TILE_N, 1) int32 ORIGINAL index of each candidate.
     boxes_ref: (1, T, 8) SMEM per-tile bbox [xlo,ylo,zlo,xhi,yhi,zhi,0,0].
-    out_*:     (TILE_Q, k); best_*_ref: (TILE_Q, k) VMEM scratch.
+    out_*:     (1, k_pad, TILE_Q); bd_ref/bi_ref (k_pad, TILE_Q) scratch.
     """
-    qx = q_ref[:, 0:1]
-    qy = q_ref[:, 1:2]
-    qz = q_ref[:, 2:3]
+    qx = q_ref[0, 0:1, :]  # (1, TQ)
+    qy = q_ref[0, 1:2, :]
+    qz = q_ref[0, 2:3, :]
     # Query tile bbox (scalars).
     qxlo = jnp.min(qx)
     qylo = jnp.min(qy)
@@ -215,12 +160,8 @@ def _knn_sorted_kernel(q_ref, px_ref, oidx_ref, boxes_ref, out_d_ref,
     qyhi = jnp.max(qy)
     qzhi = jnp.max(qz)
 
-    best_d_ref[:, :] = jnp.full((tile_q, k), _BIG, jnp.float32)
-    # Distinct sentinel ids per slot — the unsorted fold relies on (d, id)
-    # uniqueness to address its worst slot.
-    best_i_ref[:, :] = _SENTINEL_I + jax.lax.broadcasted_iota(
-        jnp.int32, (tile_q, k), 1
-    )
+    bd_ref[:, :] = jnp.full((k_pad, tile_q), _BIG, jnp.float32)
+    bi_ref[:, :] = jnp.full((k_pad, tile_q), 2**30, jnp.int32)
 
     # Both orders follow the same Morton curve: the candidate tile covering
     # this query tile's region sits at the same curve fraction.
@@ -237,43 +178,41 @@ def _knn_sorted_kernel(q_ref, px_ref, oidx_ref, boxes_ref, out_d_ref,
         gz = jnp.maximum(jnp.maximum(boxes_ref[0, t, 2] - qzhi,
                                      qzlo - boxes_ref[0, t, 5]), 0.0)
         lb = (gx * gx + gy * gy + gz * gz) * _LB_SAFETY
-        # Worst kept value across the whole (unsorted) slot set.
-        kth_max = jnp.max(best_d_ref[:, :])
+        # Slots are sorted: row k-1 is every query's current worst.
+        kth_max = jnp.max(bd_ref[k - 1 : k, :])
 
         @pl.when(lb <= kth_max)
         def _():
-            xs = px_ref[0, t, 0:1, :]  # (1, TILE_N)
-            ys = px_ref[0, t, 1:2, :]
-            zs = px_ref[0, t, 2:3, :]
-            oid = oidx_ref[0, t]       # (1, TILE_N)
-            dx = qx - xs
-            dy = qy - ys
-            dz = qz - zs
-            d = dx * dx + dy * dy + dz * dz  # (Q, TN)
+            blk = px_ref[0, t]        # (TN, 3)
+            oid = oidx_ref[0, t]      # (TN, 1) — broadcasts over lanes
+            dx = blk[:, 0:1] - qx     # (TN, TQ)
+            dy = blk[:, 1:2] - qy
+            dz = blk[:, 2:3] - qz
+            d = dx * dx + dy * dy + dz * dz  # (TN, TQ)
 
             # Fold guard: the bbox bound is loose — a tile can pass it yet
-            # contain no candidate closer than any row's current worst.
-            # One min-pass decides; the k-round fold (~6 passes each) is
-            # predicated out when no row can improve. Conservative on ties
-            # (<=): equal distance with a smaller id still folds.
-            row_min = jnp.min(d, axis=1, keepdims=True)        # (Q, 1)
-            row_worst = jnp.max(best_d_ref[:, :], axis=1, keepdims=True)
-            improvable = jnp.any(row_min <= row_worst)
+            # contain no candidate closer than any query's current worst.
+            # One min-pass decides; the k-round fold is predicated out when
+            # no query can improve. Conservative on ties (<=): equal
+            # distance with a smaller id still folds.
+            col_min = jnp.min(d, axis=0, keepdims=True)  # (1, TQ)
+            improvable = jnp.any(col_min <= bd_ref[k - 1 : k, :])
 
             @pl.when(improvable)
             def _():
-                best_d, best_i = _fold_tile_unsorted(
-                    best_d_ref[:, :], best_i_ref[:, :], d, oid, k
-                )
-                best_d_ref[:, :] = best_d
-                best_i_ref[:, :] = best_i
+                slots = tuple(
+                    bd_ref[s : s + 1, :] for s in range(k)
+                ) + tuple(bi_ref[s : s + 1, :] for s in range(k))
+                slots = _fold_tile_t(slots, d, oid, k)
+                for s in range(k):
+                    bd_ref[s : s + 1, :] = slots[s]
+                    bi_ref[s : s + 1, :] = slots[k + s]
 
         return 0
 
     jax.lax.fori_loop(0, num_tiles, tile_body, 0)
-    out_d, out_i = _sort_slots(best_d_ref[:, :], best_i_ref[:, :], k)
-    out_d_ref[:, :] = out_d
-    out_i_ref[:, :] = out_i
+    out_d_ref[0] = bd_ref[:, :]
+    out_i_ref[0] = bi_ref[:, :]
 
 
 def _part1by1(v):
@@ -361,42 +300,46 @@ def _knn_pallas_sorted(k, xyz, new_xyz, same_set):
         qperm = jnp.argsort(qkey, axis=1).astype(jnp.int32)
         q_s = jnp.take_along_axis(new_xyz, qperm[..., None], axis=1)
 
-    # Candidate tiles (B, T, 3, TN) + per-tile bboxes (B, T, 8).
+    # Candidate tiles (B, T, TN, 3) (natural layout) + bboxes (B, T, 8).
     tiles = xyz_s.reshape(b, num_tiles, tile_n, 3)
-    px = jnp.swapaxes(tiles, 2, 3)  # (B, T, 3, TN)
     lo = jnp.min(tiles, axis=2)  # (B, T, 3)
     hi = jnp.max(tiles, axis=2)
     boxes = jnp.concatenate(
         [lo, hi, jnp.zeros((b, num_tiles, 2), lo.dtype)], axis=-1
     )  # (B, T, 8)
-    oidx = cperm.reshape(b, num_tiles, 1, tile_n)
+    oidx = cperm.reshape(b, num_tiles, tile_n, 1)
 
+    k_pad = 8 if k <= 8 else 16
     kernel = functools.partial(
-        _knn_sorted_kernel,
+        _knn_sorted_kernel_t,
         k=k,
         num_tiles=num_tiles,
         tile_q=tile_q,
         tile_n=tile_n,
         qt_per_b=p // tile_q,
+        k_pad=k_pad,
     )
 
     # Flat grid over all (batch, query-tile) pairs — one pallas_call for the
     # whole batch (vmap-of-pallas_call pays heavy per-instance overhead).
     qt_per_b = p // tile_q
+    q_t = jnp.swapaxes(q_s, 1, 2)  # (B, 3, P) SoA
     d, i = pl.pallas_call(
         kernel,
         grid=(b * qt_per_b,),
         in_specs=[
             pl.BlockSpec(
-                (tile_q, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (1, 3, tile_q),
+                lambda i: (i // qt_per_b, 0, i % qt_per_b),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, num_tiles, 3, tile_n),
+                (1, num_tiles, tile_n, 3),
                 lambda i: (i // qt_per_b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, num_tiles, 1, tile_n),
+                (1, num_tiles, tile_n, 1),
                 lambda i: (i // qt_per_b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -408,23 +351,27 @@ def _knn_pallas_sorted(k, xyz, new_xyz, same_set):
         ],
         out_specs=[
             pl.BlockSpec(
-                (tile_q, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (1, k_pad, tile_q),
+                lambda i: (i // qt_per_b, 0, i % qt_per_b),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (tile_q, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (1, k_pad, tile_q),
+                lambda i: (i // qt_per_b, 0, i % qt_per_b),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * p, k), jnp.float32),
-            jax.ShapeDtypeStruct((b * p, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, k_pad, p), jnp.float32),
+            jax.ShapeDtypeStruct((b, k_pad, p), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile_q, k), jnp.float32),
-            pltpu.VMEM((tile_q, k), jnp.int32),
+            pltpu.VMEM((k_pad, tile_q), jnp.float32),
+            pltpu.VMEM((k_pad, tile_q), jnp.int32),
         ],
-    )(q_s.reshape(b * p, 3), px, oidx, boxes)
-    d = d.reshape(b, p, k)
-    i = i.reshape(b, p, k)
+    )(q_t, tiles, oidx, boxes)
+    d = jnp.swapaxes(d[:, :k], 1, 2)  # (B, P, k)
+    i = jnp.swapaxes(i[:, :k], 1, 2)
     # Restore the caller's query order.
     inv = jnp.argsort(qperm, axis=1)
     d = jnp.take_along_axis(d, inv[..., None], axis=1)
