@@ -78,6 +78,17 @@ def main():
     parser.add_argument("--data_split", default="val")
     parser.add_argument("--dataset_dir", default=None)
     parser.add_argument("--output_root", default="outputs")
+    parser.add_argument("--shared_img_feature", type=int, default=None,
+                        choices=(0, 1),
+                        help="override rcnn_use_rpn_img_feature_map: 1 = the "
+                             "RCNN crops stage-1's image feature map (one "
+                             "VGG pass per frame), 0 = reference-style "
+                             "recompute (rcnn_model.py:124-202)")
+    parser.add_argument("--img_downsample", type=int, default=None,
+                        help="override the image-extractor downsample factor")
+    parser.add_argument("--kitti_eval", action="store_true",
+                        help="convert predictions to KITTI format and run "
+                             "the native C++ evaluator (prints AP)")
     args = parser.parse_args()
 
     rpn_cfg = common.resolve_config(args.rpn_config, args.dataset_dir)
@@ -85,6 +96,15 @@ def main():
     rpn_cfg.dataset_config.aug_list = []
     rcnn_cfg.model_config.path_drop_probabilities = [1.0, 1.0]
     rpn_cfg.model_config.path_drop_probabilities = [1.0, 1.0]
+    if args.shared_img_feature is not None:
+        rcnn_cfg.model_config.rcnn_config.rcnn_use_rpn_img_feature_map = bool(
+            args.shared_img_feature
+        )
+    if args.img_downsample is not None:
+        for c in (rpn_cfg, rcnn_cfg):
+            c.model_config.layers_config.img_vgg_pyr.downsample = (
+                args.img_downsample
+            )
 
     dataset = common.build_dataset(rpn_cfg, "test", args.data_split)
     fused, rpn_model, rcnn_model = build_fused_inference(
@@ -149,6 +169,28 @@ def main():
         f"mean {np.mean(times) * 1000:.1f} ms, median "
         f"{np.median(times) * 1000:.1f} ms -> {out_dir}"
     )
+
+    if args.kitti_eval:
+        from heterofusionrcnn_tpu.runtime.kitti_writer import (
+            save_predictions_in_kitti_format,
+        )
+        from heterofusionrcnn_tpu.runtime.native_eval import (
+            run_kitti_native_eval,
+        )
+
+        predictions_root = os.path.join(
+            args.output_root,
+            rcnn_cfg.model_config.checkpoint_name,
+            "predictions",
+        )
+        step_tag = f"{rpn_step}_{rcnn_step}_fused"
+        kitti_dir = save_predictions_in_kitti_format(
+            dataset, predictions_root, 0.1, step_tag
+        )
+        aps = run_kitti_native_eval(dataset.label_dir, kitti_dir)
+        for key in sorted(aps):
+            e, m, h = aps[key]
+            print(f"AP {key}: {e:.2f} {m:.2f} {h:.2f}")
 
 
 if __name__ == "__main__":
