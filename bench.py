@@ -235,6 +235,27 @@ def main():
     sync(rc_out)
     rcnn_ms = _pipelined_ms(rcnn_stage, rcnn_args, sync, ITERS)
 
+    # Roofline attribution of the measured graph (VERDICT r2 #1): XLA
+    # cost-model FLOPs/bytes of the exact compiled fused fn vs v5e peaks
+    # (197 TFLOP/s bf16, 819 GB/s HBM). The full per-stage table lives in
+    # tools/flops_ledger.py; this line keeps the headline attributable.
+    roofline = {}
+    try:
+        ca = fused.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        gflop = float(ca.get("flops", 0.0)) / 1e9
+        gb = float(ca.get("bytes accessed", 0.0)) / 1e9
+        ms = BATCH / fps * 1000.0
+        roofline = {
+            "gflop_per_batch": round(gflop, 1),
+            "hbm_gb_per_batch": round(gb, 2),
+            "mfu": round(gflop / 1e3 / (197.0 * ms / 1e3), 4),
+            "hbm_bw_frac": round(gb / (819.0 * ms / 1e3), 3),
+        }
+    except Exception as exc:  # cost_analysis availability varies by backend
+        roofline = {"error": str(exc)[:120]}
+
     print(
         json.dumps(
             {
@@ -244,6 +265,7 @@ def main():
                     "fused_ms_per_batch": round(BATCH / fps * 1000.0, 1),
                     "rpn_ms_per_batch": round(rpn_ms, 1),
                     "rcnn_ms_per_batch": round(rcnn_ms, 1),
+                    "roofline": roofline,
                 }
             }
         ),

@@ -540,3 +540,113 @@ def test_difficulty_filter_matches_reference():
     finally:
         if not had_bool:
             del np.bool
+
+
+def test_box_2d_ops_match_reference_box_list_ops():
+    """core/box_2d.py vs the reference's TF OD-API box_list_ops
+    (box_list_ops.py:43-334) on random boxes. The reference stores yxyx
+    BoxLists; ours are plain xyxy arrays — converted at the boundary."""
+    if not hasattr(tf, "name_scope_patched_for_boxlist"):
+        # box_list_ops uses the TF1 two-arg tf.name_scope(scope, default)
+        # and reduce_sum(keep_dims=...).
+        tf.name_scope = tf.compat.v1.name_scope
+        _orig_reduce_sum = tf.reduce_sum
+
+        def _reduce_sum_shim(*a, **k):
+            if "keep_dims" in k:
+                k["keepdims"] = k.pop("keep_dims")
+            return _orig_reduce_sum(*a, **k)
+
+        tf.reduce_sum = _reduce_sum_shim
+        tf.name_scope_patched_for_boxlist = True
+    from hf.core import box_list as ref_box_list
+    from hf.core import box_list_ops as ref_blo
+
+    from heterofusionrcnn_tpu.core import box_2d as my2d
+
+    rng = np.random.default_rng(7)
+
+    def rand_xyxy(n):
+        lo = rng.uniform(0, 50, (n, 2)).astype(np.float32)
+        wh = rng.uniform(0.1, 30, (n, 2)).astype(np.float32)
+        return np.concatenate([lo, lo + wh], axis=1)
+
+    def to_yxyx(b):
+        return b[:, [1, 0, 3, 2]]
+
+    a_xy, b_xy = rand_xyxy(40), rand_xyxy(25)
+    ref_a = ref_box_list.BoxList(tf.constant(to_yxyx(a_xy)))
+    ref_b = ref_box_list.BoxList(tf.constant(to_yxyx(b_xy)))
+
+    np.testing.assert_allclose(
+        ref_blo.area(ref_a).numpy(), np.asarray(my2d.area(a_xy)), rtol=1e-6
+    )
+    ref_h, ref_w = ref_blo.height_width(ref_a)
+    my_h, my_w = my2d.height_width(a_xy)
+    np.testing.assert_allclose(ref_h.numpy(), np.asarray(my_h), rtol=1e-6)
+    np.testing.assert_allclose(ref_w.numpy(), np.asarray(my_w), rtol=1e-6)
+
+    np.testing.assert_allclose(
+        ref_blo.intersection(ref_a, ref_b).numpy(),
+        np.asarray(my2d.intersection(a_xy, b_xy)),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        ref_blo.iou(ref_a, ref_b).numpy(),
+        np.asarray(my2d.iou(a_xy, b_xy)),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        ref_blo.ioa(ref_a, ref_b).numpy(),
+        np.asarray(my2d.ioa(a_xy, b_xy)),
+        rtol=1e-5,
+    )
+
+    c_xy = rand_xyxy(40)  # matched ops need equal N
+    ref_c = ref_box_list.BoxList(tf.constant(to_yxyx(c_xy)))
+    np.testing.assert_allclose(
+        ref_blo.matched_intersection(ref_a, ref_c).numpy(),
+        np.asarray(my2d.matched_intersection(a_xy, c_xy)),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        ref_blo.matched_iou(ref_a, ref_c).numpy(),
+        np.asarray(my2d.matched_iou(a_xy, c_xy)),
+        rtol=1e-5,
+    )
+
+    # sq_dist treats the 4 coords as a point; distances are permutation-
+    # invariant under a consistent coordinate reorder, so yxyx == xyxy.
+    np.testing.assert_allclose(
+        ref_blo.sq_dist(ref_a, ref_b).numpy(),
+        np.asarray(my2d.sq_dist(a_xy, b_xy)),
+        rtol=1e-4,
+    )
+
+    # scale: reference signature is (y_scale, x_scale).
+    np.testing.assert_allclose(
+        ref_blo.scale(ref_a, 0.5, 2.0).get().numpy()[:, [1, 0, 3, 2]],
+        np.asarray(my2d.scale(a_xy, 2.0, 0.5)),
+        rtol=1e-6,
+    )
+
+    # change_coordinate_frame: window yxyx <-> xyxy.
+    win_xy = np.array([5.0, 3.0, 60.0, 45.0], np.float32)
+    win_yx = win_xy[[1, 0, 3, 2]]
+    np.testing.assert_allclose(
+        ref_blo.change_coordinate_frame(ref_a, tf.constant(win_yx))
+        .get()
+        .numpy(),
+        to_yxyx(np.asarray(my2d.change_coordinate_frame(a_xy, win_xy))),
+        rtol=1e-5,
+    )
+
+    # Prune masks vs the reference keep-index sets (mask form here; the
+    # reference compacts with tf.where/gather).
+    my_small = np.asarray(my2d.prune_small_boxes_mask(a_xy, 5.0))
+    ref_keep = (ref_w.numpy() >= 5.0) & (ref_h.numpy() >= 5.0)
+    np.testing.assert_array_equal(ref_keep, my_small)
+
+    ref_ioa_max = ref_blo.ioa(ref_b, ref_a).numpy().max(axis=0)
+    my_over = np.asarray(my2d.prune_non_overlapping_mask(a_xy, b_xy, 0.3))
+    np.testing.assert_array_equal(ref_ioa_max >= 0.3, my_over)
