@@ -369,6 +369,12 @@ def _knn_pallas_sorted(k, xyz, new_xyz, same_set):
             pltpu.VMEM((k_pad, tile_q), jnp.float32),
             pltpu.VMEM((k_pad, tile_q), jnp.int32),
         ],
+        # The (1, T, TN, 3)/(1, T, TN, 1) candidate blocks pad their minor
+        # dim to 128 lanes in VMEM (~16 MB at N=16384), just over the 16 MB
+        # default scoped-VMEM budget. v5e has 128 MB of VMEM; raise the cap.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )(q_t, tiles, oidx, boxes)
     d = jnp.swapaxes(d[:, :k], 1, 2)  # (B, P, k)
     i = jnp.swapaxes(i[:, :k], 1, 2)
