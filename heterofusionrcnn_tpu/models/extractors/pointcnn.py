@@ -232,11 +232,38 @@ class XConv(nn.Module):
                 bnx2=bn("X_2"),
             )
 
-        nn_fts_t = (
-            None
-            if fts is None
-            else group_point(fts, jnp.swapaxes(idx, 1, 2))  # (B, K, P, Cp)
+        # Neighbor-feature delivery: for small source sets the gather moves
+        # INTO the kernel (one-hot contraction over the VMEM-resident
+        # (N, Cp) block) — at stage-2 L1 scale the XLA-level gather writes
+        # ~0.9 GB to HBM only for the kernel to read it straight back, and
+        # the measured XLA alternatives are all slower (one-hot 4.6 ms,
+        # flat-row 21.8 ms, take_along_axis 25.9 ms per call on v5e;
+        # tools/microbench_gather.py). Large-N layers keep the XLA flat-row
+        # gather: a (T, 16384) one-hot per tile would waste MXU time and
+        # the (N, Cp) block would not fit VMEM.
+        in_kernel_gather = (
+            fts is not None
+            and fts.shape[1] <= 1024
+            and pick_tile(
+                qrs.shape[1],
+                self.K,
+                self.C_pts_fts,
+                fts.shape[-1],
+                self.C,
+                n_src=fts.shape[1],
+            )
+            > 0
         )
+        if in_kernel_gather:
+            fused_kwargs = dict(fts_src=fts.astype(cd), nn_idx=idx)
+            nn_fts_t = None
+        else:
+            fused_kwargs = {}
+            nn_fts_t = (
+                None
+                if fts is None
+                else group_point(fts, jnp.swapaxes(idx, 1, 2))  # (B,K,P,Cp)
+            )
         out = fused_xconv(
             nn_pts_local,
             None if nn_fts_t is None else nn_fts_t.astype(cd),
@@ -244,6 +271,7 @@ class XConv(nn.Module):
             compute_dtype=cd,
             with_x_transformation=self.with_X_transformation,
             interpret=(mode == "interpret"),
+            **fused_kwargs,
         )
 
         if self.with_global:

@@ -11,9 +11,12 @@ cell takes a tile of query points with pre-gathered neighbor data and writes
 only the (T, C_out) result.
 
 Formulation notes (vs the reference xconv, pointcnn.py:16-153):
-  - The neighbor gather stays OUTSIDE the kernel (XLA row-gather / one-hot,
-    already fast) but in a transposed (B, K, P, C) layout so per-k slices
-    are contiguous VMEM blocks.
+  - Neighbor-feature delivery has two modes. Small source sets (N <= ~1k,
+    the RCNN stage-2 layers) gather IN-KERNEL: the raw (N, Cp) block lives
+    in VMEM and each neighbor slot is a (T, N) one-hot MXU contraction —
+    no (B, K, P, Cp) HBM round-trip. Large-N layers pre-gather outside
+    (XLA flat-row gather) in a transposed (B, K, P, C) layout so per-k
+    slices are contiguous VMEM blocks.
   - The two lift MLPs run as block-diagonal matmuls over all K neighbors at
     once: xin (T, K*3) @ blockdiag(W1) -> (T, K*Cf) -> @ blockdiag(W2).
   - The K x K depthwise "convs" of the X-network are precomposed into dense
@@ -72,27 +75,54 @@ def _elu(x):
 
 def _xconv_kernel(
     xin_ref,      # (1, T, K*3) local coords, k-major, f32
-    fts_ref,      # (1, K, T, Cp) pre-gathered prev features (or dummy)
-    w1_ref, s1_ref, b1_ref,      # blockdiag lift-1 (K*3, K*Cf), affines (K*Cf)
-    w2_ref, s2_ref, b2_ref,      # lift-2 (Cf, Cf), shared across k
-    wx0_ref, sx0_ref, bx0_ref,   # X_0 (K*3, K*K)
-    mx1_ref, sx1_ref, bx1_ref,   # X_1 dense (K*K, K*K)
-    mx2_ref, sx2_ref, bx2_ref,   # X_2 dense (no activation)
-    wcf_ref,      # (K, Cf, D) composed conv, f_delta columns
-    wcp_ref,      # (K, Cp, D) composed conv, prev-feature columns (or dummy)
-    sc_ref, bc_ref,              # output affine (D)
-    out_ref,      # (1, T, D)
-    *,
+    fts_ref,      # (1, K, T, Cp) pre-gathered prev features (or dummy);
+                  # in-kernel-gather mode: (1, N, Cp) raw source features
+    *rest,        # [idx_ref (1, T, K) when n_src] + weight refs + out_ref
     k_n: int,
     cf: int,
     cp: int,
     d_out: int,
     tile: int,
     with_x: bool,
+    n_src: int,
 ):
+    if n_src:
+        idx_ref, rest = rest[0], rest[1:]
+    (
+        w1_ref, s1_ref, b1_ref,      # blockdiag lift-1 (K*3, K*Cf), affines
+        w2_ref, s2_ref, b2_ref,      # lift-2 (Cf, Cf), shared across k
+        wx0_ref, sx0_ref, bx0_ref,   # X_0 (K*3, K*K)
+        mx1_ref, sx1_ref, bx1_ref,   # X_1 dense (K*K, K*K)
+        mx2_ref, sx2_ref, bx2_ref,   # X_2 dense (no activation)
+        wcf_ref,      # (K, Cf, D) composed conv, f_delta columns
+        wcp_ref,      # (K, Cp, D) composed conv, prev-feature columns
+        sc_ref, bc_ref,              # output affine (D)
+        out_ref,      # (1, T, D)
+    ) = rest
     cd = w1_ref.dtype
     f32 = jnp.float32
     xin = xin_ref[0]  # (T, 3K)
+
+    # ---- in-kernel neighbor gather (one-hot contraction in VMEM) ---- #
+    # The XLA-level gather writes (B, K, P, Cp) to HBM only for this kernel
+    # to re-read it (stage-2 L1: ~0.9 GB each way per batch). Here the raw
+    # (N, Cp) feature block stays in VMEM and each neighbor slot j becomes
+    # one (T, N) @ (N, Cp) MXU matmul — exact (rows are 1.0 x one value;
+    # f32 accumulation passes bf16 inputs through unchanged).
+    fts_g = None
+    if n_src and cp:
+        src = fts_ref[0]  # (N, Cp) compute dtype
+        idx = idx_ref[0]  # (T, K) int32
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tile, n_src), 1)
+        fts_g = []
+        for j in range(k_n):
+            oh = (idx[:, j:j + 1] == iota).astype(cd)  # (T, N)
+            fts_g.append(
+                jnp.dot(oh, src, preferred_element_type=f32)  # (T, Cp) f32
+            )
+
+    def fts_j(j):
+        return fts_g[j] if n_src else fts_ref[0, j].astype(f32)
 
     # ---- lift MLPs ---- #
     # Lift-1 runs block-diagonal over all K neighbors at once (w1 is only
@@ -132,10 +162,10 @@ def _xconv_kernel(
                 xkj = x2[:, k * k_n + j][:, None]  # (T, 1)
                 fx_f = fx_f + xkj * f2s[j]
                 if cp:
-                    fx_p = fx_p + xkj * fts_ref[0, j].astype(f32)
+                    fx_p = fx_p + xkj * fts_j(j)
         else:
             fx_f = f2s[k]
-            fx_p = fts_ref[0, k].astype(f32) if cp else None
+            fx_p = fts_j(k) if cp else None
         acc = acc + jnp.dot(
             fx_f.astype(cd), wcf_ref[k], preferred_element_type=f32
         )
@@ -158,10 +188,13 @@ def supported_tile(p: int) -> int:
 
 
 def fused_vmem_bytes(
-    k: int, cf: int, cp: int, d_out: int, t: int
+    k: int, cf: int, cp: int, d_out: int, t: int, n_src: int = 0
 ) -> int:
     """Rough VMEM footprint of one grid cell at tile size t (weights +
-    double-buffered blocks + f32 intermediates)."""
+    double-buffered blocks + f32 intermediates). n_src > 0 = in-kernel
+    gather mode: the feature block is the raw (N, Cp) source instead of the
+    pre-gathered (K, T, Cp), plus the one-hot scratch and the gathered f32
+    neighborhood list."""
     bf2 = 2
     w = (
         (3 * k) * (k * cf) * bf2          # w1 blockdiag
@@ -170,21 +203,35 @@ def fused_vmem_bytes(
         + k * cf * d_out * bf2            # wcf
         + k * max(cp, 1) * d_out * bf2    # wcp
     )
-    blocks = 2 * (t * 3 * k * 4 + k * t * max(cp, 1) * bf2)  # double-buffered
-    inter = t * (k * cf + k * k + 2 * d_out + cf + cp) * 4
+    if n_src:
+        blocks = 2 * (
+            t * 3 * k * 4                 # xin
+            + n_src * max(cp, 1) * bf2    # raw feature block
+            + t * 128 * 4                 # idx (K lanes pad to 128)
+        )
+        inter = (
+            t * (k * cf + k * k + 2 * d_out + cf + cp) * 4
+            + t * n_src * bf2             # one-hot scratch
+            + k * t * max(cp, 1) * 4      # gathered f32 neighborhoods
+        )
+    else:
+        blocks = 2 * (t * 3 * k * 4 + k * t * max(cp, 1) * bf2)
+        inter = t * (k * cf + k * k + 2 * d_out + cf + cp) * 4
     return w + blocks + inter
 
 
 VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def pick_tile(p: int, k: int, cf: int, cp: int, d_out: int) -> int:
+def pick_tile(
+    p: int, k: int, cf: int, cp: int, d_out: int, n_src: int = 0
+) -> int:
     """Largest query tile whose grid cell fits the VMEM budget; 0 if none
     (the deep narrow layers whose weight blocks alone exceed VMEM — those
     stay on the XLA path where they are compute-light)."""
     t = supported_tile(p)
     while t >= 8:
-        if fused_vmem_bytes(k, cf, cp, d_out, t) <= VMEM_BUDGET:
+        if fused_vmem_bytes(k, cf, cp, d_out, t, n_src) <= VMEM_BUDGET:
             return t
         if t % 2 or p % (t // 2):
             return 0
@@ -197,6 +244,8 @@ def fused_xconv(
     nn_fts_t,     # (B, K, P, Cp) pre-gathered prev features or None
     params,       # dict, see below
     *,
+    fts_src=None,  # (B, N, Cp) raw prev features (in-kernel gather mode)
+    nn_idx=None,   # (B, P, K) int32 neighbor indices (required with fts_src)
     compute_dtype=jnp.bfloat16,
     with_x_transformation: bool = True,
     out_dtype=None,
@@ -211,15 +260,26 @@ def fused_xconv(
       wd (K, Cin, dm), wp (Cin*dm, D)    separable depthwise + pointwise
       bnc                                output BN
 
+    Neighbor features come in ONE of two ways: pre-gathered `nn_fts_t`
+    (B, K, P, Cp), or raw `fts_src` (B, N, Cp) + `nn_idx` — then the gather
+    happens inside the kernel as a one-hot MXU contraction over the
+    VMEM-resident source block, skipping the (B, K, P, Cp) HBM round-trip.
+
     Returns (B, P, D) in out_dtype (default compute_dtype).
     """
     b, p, k_n, _ = nn_local.shape
     cf = params["w1"].shape[1]
-    cp = 0 if nn_fts_t is None else nn_fts_t.shape[-1]
+    if fts_src is not None:
+        assert nn_fts_t is None and nn_idx is not None
+        cp = fts_src.shape[-1]
+        n_src = fts_src.shape[1]
+    else:
+        cp = 0 if nn_fts_t is None else nn_fts_t.shape[-1]
+        n_src = 0
     cin = cf + cp
     dm = params["wd"].shape[2]
     d_out = params["wp"].shape[1]
-    tile = pick_tile(p, k_n, cf, cp, d_out)
+    tile = pick_tile(p, k_n, cf, cp, d_out, n_src)
     if tile == 0:
         raise ValueError(f"unsupported P={p} (no tile fits VMEM)")
     cd = compute_dtype
@@ -264,11 +324,18 @@ def fused_xconv(
 
     # xin: (B, P, K*3) k-major flattened local coords (ConvOverK layout).
     xin = nn_local.reshape(b, p, k_n * 3).astype(jnp.float32)
-    fts_in = (
-        nn_fts_t
-        if cp
-        else jnp.zeros((b, k_n, p, 1), cd)
-    )
+    if n_src:
+        fts_in = fts_src.astype(cd)
+        fts_spec = pl.BlockSpec((1, n_src, cp), lambda i, j: (i, 0, 0))
+        idx_args = [nn_idx.astype(jnp.int32)]
+        idx_specs = [pl.BlockSpec((1, tile, k_n), lambda i, j: (i, j, 0))]
+    else:
+        fts_in = nn_fts_t if cp else jnp.zeros((b, k_n, p, 1), cd)
+        fts_spec = pl.BlockSpec(
+            (1, k_n, tile, max(cp, 1)), lambda i, j: (i, 0, j, 0)
+        )
+        idx_args = []
+        idx_specs = []
 
     grid = (b, p // tile)
     full = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape))
@@ -280,15 +347,15 @@ def fused_xconv(
         d_out=d_out,
         tile=tile,
         with_x=with_x_transformation,
+        n_src=n_src,
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile, k_n * 3), lambda i, j: (i, j, 0)),
-            pl.BlockSpec(
-                (1, k_n, tile, max(cp, 1)), lambda i, j: (i, 0, j, 0)
-            ),
+            fts_spec,
+            *idx_specs,
             full(w1_bd.shape), full(s1_t.shape), full(b1_t.shape),
             full(w2_k.shape), full(s2.shape), full(b2.shape),
             full(wx0.shape), full(sx0.shape), full(bx0.shape),
@@ -301,7 +368,7 @@ def fused_xconv(
         out_shape=jax.ShapeDtypeStruct((b, p, d_out), out_dtype),
         interpret=interpret,
     )(
-        xin, fts_in,
+        xin, fts_in, *idx_args,
         w1_bd, s1_t, b1_t, w2_k, s2, b2,
         wx0, sx0, bx0, mx1, sx1, bx1, mx2, sx2, bx2,
         wcf, wcp, sc, bc,

@@ -129,6 +129,57 @@ def test_fused_xconv_matches_oracle(with_prev_fts, with_x):
     )
 
 
+@pytest.mark.parametrize("with_x", [True, False])
+def test_fused_xconv_in_kernel_gather(with_x):
+    """fts_src + nn_idx (in-kernel one-hot gather) must equal the
+    pre-gathered path and the oracle."""
+    rng = np.random.default_rng(3)
+    B, N, P, K, Cf, Cp, dm, D = 2, 48, 16, 4, 8, 6, 2, 16
+    params = _make_params(rng, K, Cf, Cf + Cp, dm, D)
+    nn_local = rng.standard_normal((B, P, K, 3)).astype(np.float32)
+    fts_src = rng.standard_normal((B, N, Cp)).astype(np.float32)
+    idx = rng.integers(0, N, (B, P, K)).astype(np.int32)
+    nn_fts = np.take_along_axis(
+        fts_src[:, :, None, :], idx.reshape(B, P * K)[..., None, None], axis=1
+    ).reshape(B, P, K, Cp)
+
+    want = _oracle(nn_local, nn_fts, params, with_x=with_x)
+
+    jp = {
+        kk: (
+            tuple(jnp.asarray(v) for v in vv)
+            if isinstance(vv, tuple)
+            else jnp.asarray(vv)
+        )
+        for kk, vv in params.items()
+    }
+    got = fused_xconv(
+        jnp.asarray(nn_local),
+        None,
+        jp,
+        fts_src=jnp.asarray(fts_src),
+        nn_idx=jnp.asarray(idx),
+        compute_dtype=jnp.float32,
+        with_x_transformation=with_x,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), want, rtol=2e-4, atol=2e-4
+    )
+    # ... and bit-identical feature delivery vs the pre-gathered path.
+    got_pre = fused_xconv(
+        jnp.asarray(nn_local),
+        jnp.asarray(np.transpose(nn_fts, (0, 2, 1, 3))),
+        jp,
+        compute_dtype=jnp.float32,
+        with_x_transformation=with_x,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(got_pre), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_fused_xconv_larger_tile():
     """P > tile: exercises the grid (two tiles per batch element)."""
     rng = np.random.default_rng(1)
