@@ -172,9 +172,50 @@ class SeparableConvOverK(nn.Module):
         return out
 
 
+def _conv3x3_shifted_matmul(x, w, b, compute_dtype):
+    """EXACT 3x3 stride-1 SAME conv as 9 shifted (B*H*W, Cin)@(Cin, Cout)
+    matmuls with one f32 accumulator.
+
+    NEGATIVE RESULT at the XLA level (kept as an A/B knob + building block
+    for a Pallas conv): measured e2e on v5e this rewrite REGRESSED the
+    fused bench 34.9 -> 30.2 fps (+22 GB HBM/batch) — XLA materializes the
+    shifted copies and f32 partials instead of fusing the 9-tap chain, so
+    the traffic swamps the MXU win. The standalone observation stands (a
+    same-FLOPs matmul is ~3x faster than XLA's conv at these shapes), which
+    means the win needs a Pallas kernel holding the accumulator in VMEM,
+    not an XLA-level rewrite. Each kernel tap is a pure channel-mixing
+    matmul of the shifted input — identical math to the conv.
+
+    Args:
+      x: (B, H, W, Cin); w: (3, 3, Cin, Cout); b: (Cout,) or None.
+    """
+    bsz, h, wd, cin = x.shape
+    cd = compute_dtype or x.dtype
+    xp = jnp.pad(x.astype(cd), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            patch = xp[:, dy:dy + h, dx:dx + wd, :]
+            part = jnp.einsum(
+                "bhwc,cd->bhwd",
+                patch,
+                w[dy, dx].astype(cd),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+    if b is not None:
+        acc = acc + b.astype(jnp.float32)
+    return acc.astype(cd)
+
+
 class ConvBNRelu(nn.Module):
     """slim.conv2d + batch_norm + ReLU, SAME padding (the image-branch
-    convention, img_vgg_pyramid.py:13-29)."""
+    convention, img_vgg_pyramid.py:13-29).
+
+    HFR_CONV_MATMUL=1 routes 3x3 stride-1 convs through
+    `_conv3x3_shifted_matmul` (A/B knob — regresses e2e at the XLA level,
+    see that function's docstring); param tree is identical either way
+    (the nn.Conv module owns the weights)."""
 
     features: int
     kernel: tuple = (3, 3)
@@ -183,10 +224,27 @@ class ConvBNRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool):
-        x = nn.Conv(
+        import os
+
+        conv = nn.Conv(
             self.features, self.kernel, self.strides, padding="SAME",
-            dtype=self.dtype,
-        )(x)
+            dtype=self.dtype, name="Conv_0",
+        )
+        use_matmul = (
+            self.kernel == (3, 3)
+            and self.strides == (1, 1)
+            and os.environ.get("HFR_CONV_MATMUL", "0") == "1"
+        )
+        if use_matmul:
+            # 1-pixel dummy call creates/looks up the params (DCE'd under
+            # jit), keeping checkpoints interchangeable with the conv path.
+            conv(x[:, :1, :1, :])
+            pv = self.variables["params"]["Conv_0"]
+            x = _conv3x3_shifted_matmul(
+                x, pv["kernel"], pv.get("bias"), self.dtype
+            )
+        else:
+            x = conv(x)
         x = nn.BatchNorm(
                 use_running_average=not training, momentum=0.99, epsilon=1e-3,
                 dtype=self.dtype,
@@ -194,8 +252,60 @@ class ConvBNRelu(nn.Module):
         return nn.relu(x)
 
 
+def _convtranspose3x3_s2_matmul(x, w, b, compute_dtype):
+    """EXACT 3x3 stride-2 SAME ConvTranspose as polyphase matmuls.
+
+    With 2x input dilation only specific kernel taps see nonzero input per
+    output-parity class: even outputs take 2 taps per axis, odd take 1
+    (2.25 avg taps/pixel vs 9 for the conv lowering). Each tap is a
+    channel-mixing matmul; the four phase planes interleave at the end.
+    Tap mapping (probed against nn.ConvTranspose, which lays the kernel
+    out so x[m] contributes w[2-t] to y[2m+t]):
+      y[2m]   = x[m] w[2] + x[m-1] w[0]        (per axis)
+      y[2m+1] = x[m] w[1]
+
+    Args:
+      x: (B, H, W, Cin); w: (3, 3, Cin, Cout) flax layout; b: (Cout,)|None.
+    Returns: (B, 2H, 2W, Cout).
+    """
+    bsz, h, wd, cin = x.shape
+    cd = compute_dtype or x.dtype
+    cout = w.shape[-1]
+    xs = x.astype(cd)
+    # x[m-1] along rows / cols (zero before the edge).
+    xr = jnp.pad(xs, ((0, 0), (1, 0), (0, 0), (0, 0)))[:, :-1]
+    xc = jnp.pad(xs, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :-1]
+    xrc = jnp.pad(xs, ((0, 0), (1, 0), (1, 0), (0, 0)))[:, :-1, :-1, :]
+
+    def mm(t, ww):
+        return jnp.einsum(
+            "bhwc,cd->bhwd", t, ww.astype(cd),
+            preferred_element_type=jnp.float32,
+        )
+
+    y00 = (
+        mm(xs, w[2, 2]) + mm(xc, w[2, 0])
+        + mm(xr, w[0, 2]) + mm(xrc, w[0, 0])
+    )
+    y01 = mm(xs, w[2, 1]) + mm(xr, w[0, 1])
+    y10 = mm(xs, w[1, 2]) + mm(xc, w[1, 0])
+    y11 = mm(xs, w[1, 1])
+    if b is not None:
+        bf = b.astype(jnp.float32)
+        y00, y01, y10, y11 = y00 + bf, y01 + bf, y10 + bf, y11 + bf
+    # Interleave phases: cols first (B,H,W,2,D)->(B,H,2W,D), then rows.
+    even = jnp.stack([y00, y01], axis=3).reshape(bsz, h, 2 * wd, cout)
+    odd = jnp.stack([y10, y11], axis=3).reshape(bsz, h, 2 * wd, cout)
+    y = jnp.stack([even, odd], axis=2).reshape(bsz, 2 * h, 2 * wd, cout)
+    return y.astype(cd)
+
+
 class ConvTransposeBNRelu(nn.Module):
-    """slim.conv2d_transpose + batch_norm + ReLU, stride 2."""
+    """slim.conv2d_transpose + batch_norm + ReLU, stride 2.
+
+    HFR_CONV_MATMUL=1 routes through the polyphase-matmul form (A/B knob —
+    regresses e2e at the XLA level, see _conv3x3_shifted_matmul); param
+    tree is identical either way."""
 
     features: int
     kernel: tuple = (3, 3)
@@ -203,9 +313,24 @@ class ConvTransposeBNRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool):
-        x = nn.ConvTranspose(
-            self.features, self.kernel, (2, 2), padding="SAME", dtype=self.dtype
-        )(x)
+        import os
+
+        convt = nn.ConvTranspose(
+            self.features, self.kernel, (2, 2), padding="SAME",
+            dtype=self.dtype, name="ConvTranspose_0",
+        )
+        use_matmul = (
+            self.kernel == (3, 3)
+            and os.environ.get("HFR_CONV_MATMUL", "0") == "1"
+        )
+        if use_matmul:
+            convt(x[:, :1, :1, :])  # params only; DCE'd under jit
+            pv = self.variables["params"]["ConvTranspose_0"]
+            x = _convtranspose3x3_s2_matmul(
+                x, pv["kernel"], pv.get("bias"), self.dtype
+            )
+        else:
+            x = convt(x)
         x = nn.BatchNorm(
                 use_running_average=not training, momentum=0.99, epsilon=1e-3,
                 dtype=self.dtype,

@@ -154,6 +154,98 @@ def test_img_vgg_pyr():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_conv_shifted_matmul_matches_lax_conv(monkeypatch):
+    """The 9-shifted-matmul 3x3 lowering must match nn.Conv with the same
+    params (both SAME padding, stride 1), in f32 and bf16, with and without
+    bias, including under the full ConvBNRelu module."""
+    import jax.numpy as jnp
+
+    from heterofusionrcnn_tpu.models.extractors.layers import (
+        ConvBNRelu, _conv3x3_shifted_matmul,
+    )
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 12, 20, 6)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 6, 8)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.standard_normal((8,)).astype(np.float32) * 0.1)
+
+    import flax.linen as nn
+
+    conv = nn.Conv(8, (3, 3), (1, 1), padding="SAME")
+    want = conv.apply({"params": {"kernel": w, "bias": b}}, x)
+    got = _conv3x3_shifted_matmul(x, w, b, None)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+    # bf16 compute: both paths accumulate f32 over bf16 products; summation
+    # order differs (9 partials vs conv's reduction), so allow bf16-level
+    # tolerance.
+    conv_bf = nn.Conv(8, (3, 3), (1, 1), padding="SAME", dtype=jnp.bfloat16)
+    want_bf = conv_bf.apply({"params": {"kernel": w, "bias": b}}, x).astype(
+        np.float32
+    )
+    got_bf = np.asarray(
+        _conv3x3_shifted_matmul(x, w, b, jnp.bfloat16)
+    ).astype(np.float32)
+    np.testing.assert_allclose(got_bf, want_bf, rtol=3e-2, atol=3e-2)
+
+    # Module level: matmul path (default) vs HFR_CONV_MATMUL=0 conv path,
+    # same variables, same output.
+    mod = ConvBNRelu(8)
+    monkeypatch.setenv("HFR_CONV_MATMUL", "1")
+    variables = mod.init(jax.random.PRNGKey(0), x, False)
+    out_mm = mod.apply(variables, x, False)
+    monkeypatch.setenv("HFR_CONV_MATMUL", "0")
+    variables_conv = mod.init(jax.random.PRNGKey(0), x, False)
+    assert jax.tree_util.tree_structure(
+        variables
+    ) == jax.tree_util.tree_structure(variables_conv)
+    out_conv = mod.apply(variables, x, False)
+    np.testing.assert_allclose(
+        np.asarray(out_mm), np.asarray(out_conv), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_convtranspose_polyphase_matches_lax(monkeypatch):
+    """Polyphase-matmul 3x3 stride-2 ConvTranspose == nn.ConvTranspose with
+    the same params (odd AND even spatial dims), and the ConvTransposeBNRelu
+    module matches its own conv path."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from heterofusionrcnn_tpu.models.extractors.layers import (
+        ConvTransposeBNRelu, _convtranspose3x3_s2_matmul,
+    )
+
+    rng = np.random.default_rng(8)
+    for h, w_ in [(5, 7), (6, 8)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w_, 4)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, 4, 6)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((6,)).astype(np.float32))
+        ct = nn.ConvTranspose(6, (3, 3), (2, 2), padding="SAME")
+        want = ct.apply({"params": {"kernel": w, "bias": b}}, x)
+        got = _convtranspose3x3_s2_matmul(x, w, b, None)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+    mod = ConvTransposeBNRelu(6)
+    x = jnp.asarray(rng.standard_normal((1, 6, 10, 4)).astype(np.float32))
+    monkeypatch.setenv("HFR_CONV_MATMUL", "1")
+    variables = mod.init(jax.random.PRNGKey(0), x, False)
+    out_mm = mod.apply(variables, x, False)
+    monkeypatch.setenv("HFR_CONV_MATMUL", "0")
+    variables_conv = mod.init(jax.random.PRNGKey(0), x, False)
+    assert jax.tree_util.tree_structure(
+        variables
+    ) == jax.tree_util.tree_structure(variables_conv)
+    out_conv = mod.apply(variables, x, False)
+    np.testing.assert_allclose(
+        np.asarray(out_mm), np.asarray(out_conv), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_preprocess_image_zero_centers():
     img = jnp.full((1, 8, 8, 3), 95.0)
     out = np.asarray(preprocess_image(img))
