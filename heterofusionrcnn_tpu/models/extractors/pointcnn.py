@@ -45,7 +45,8 @@ from heterofusionrcnn_tpu.ops.sampling import (
 
 
 def _fused_xconv_mode(
-    training: bool, p: int, k: int, cf: int, cp: int, d_out: int
+    training: bool, p: int, k: int, cf: int, cp: int, d_out: int,
+    elem: int = 2,
 ) -> str:
     """'' = XLA module path; 'tpu' / 'interpret' = fused Pallas kernel.
 
@@ -56,7 +57,7 @@ def _fused_xconv_mode(
     everywhere (A/B knob)."""
     if training or os.environ.get("HFR_NO_FUSED_XCONV"):
         return ""
-    if pick_tile(p, k, cf, cp, d_out) == 0:
+    if pick_tile(p, k, cf, cp, d_out, elem=elem) == 0:
         return ""
     if jax.default_backend() == "tpu":
         return "tpu"
@@ -111,6 +112,7 @@ class XConv(nn.Module):
             self.C_pts_fts,
             0 if fts is None else fts.shape[-1],
             self.C,
+            elem=jnp.dtype(self.dtype or jnp.float32).itemsize,
         )
         if mode:
             return self._fused(pts, fts, qrs, idx, nn_pts_local, mode, training)
@@ -251,6 +253,7 @@ class XConv(nn.Module):
                 fts.shape[-1],
                 self.C,
                 n_src=fts.shape[1],
+                elem=jnp.dtype(cd).itemsize,
             )
             > 0
         )
@@ -309,13 +312,33 @@ class PointCNN(nn.Module):
         # identity) recur between the encoder's first layer and the decoder's
         # final layers — the 16384x16384 query is the single most expensive
         # op in the network, so never compute it twice.
+        #
+        # Subset derivation: when layer 1 ran same-set KNN over `pts` and a
+        # later layer queries a SUBSET of `pts` (qrs = gather_point(pts,
+        # sidx)) against the same candidates, its k-NN rows are exactly the
+        # cached same-set rows at sidx — a (B, P, k) gather instead of a
+        # fresh (P, N) scan (the RPN encoder's 4096q x 16384 KNN, ~5 ms of
+        # the fused budget). Exact: same candidate set, same tie rule.
         knn_cache = {}
+        subset_of = {}  # id(qrs) -> (id(pts), sidx) when qrs = pts[sidx]
 
         def cached_knn(pts, qrs, k):
             key = (id(pts), id(qrs), k)
             if key not in knn_cache:
-                _, idx = knn_point(k, pts, qrs)
-                knn_cache[key] = idx
+                parent = subset_of.get(id(qrs))
+                same = (
+                    knn_cache.get((id(pts), id(pts), k))
+                    if parent is not None and parent[0] == id(pts)
+                    else None
+                )
+                if same is not None:
+                    sidx = parent[1]
+                    knn_cache[key] = jnp.take_along_axis(
+                        same, sidx[:, :, None].astype(jnp.int32), axis=1
+                    )
+                else:
+                    _, idx = knn_point(k, pts, qrs)
+                    knn_cache[key] = idx
             return knn_cache[key]
 
         for layer_idx, lp in enumerate(xconvs):
@@ -329,13 +352,22 @@ class PointCNN(nn.Module):
             elif cfg.sampling == "fps":
                 fps_idx = farthest_point_sample(pts, p_target)
                 qrs = gather_point(pts, fps_idx)
+                subset_of[id(qrs)] = (id(pts), fps_idx)
             elif cfg.sampling == "ids":
                 ids_idx = inverse_density_sampling(
                     self.make_rng("sampling"), pts, lp.K, p_target
                 )
                 qrs = gather_point(pts, ids_idx)
+                subset_of[id(qrs)] = (id(pts), ids_idx)
             elif cfg.sampling == "random":
                 qrs = pts[:, :p_target]
+                subset_of[id(qrs)] = (
+                    id(pts),
+                    jnp.broadcast_to(
+                        jnp.arange(p_target, dtype=jnp.int32)[None],
+                        (pts.shape[0], p_target),
+                    ),
+                )
             else:
                 raise ValueError(f"unknown sampling {cfg.sampling}")
             layer_pts.append(qrs)

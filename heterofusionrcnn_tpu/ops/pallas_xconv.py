@@ -188,14 +188,17 @@ def supported_tile(p: int) -> int:
 
 
 def fused_vmem_bytes(
-    k: int, cf: int, cp: int, d_out: int, t: int, n_src: int = 0
+    k: int, cf: int, cp: int, d_out: int, t: int, n_src: int = 0,
+    elem: int = 2,
 ) -> int:
     """Rough VMEM footprint of one grid cell at tile size t (weights +
     double-buffered blocks + f32 intermediates). n_src > 0 = in-kernel
     gather mode: the feature block is the raw (N, Cp) source instead of the
     pre-gathered (K, T, Cp), plus the one-hot scratch and the gathered f32
-    neighborhood list."""
-    bf2 = 2
+    neighborhood list. `elem` = compute-dtype bytes (2 bf16 / 4 f32) for the
+    weight and feature blocks — an f32 run that sizes tiles with the bf16
+    estimate busts the 16 MB scoped-VMEM limit at RPN shapes."""
+    bf2 = elem
     w = (
         (3 * k) * (k * cf) * bf2          # w1 blockdiag
         + cf * cf * bf2                   # w2 (shared across k)
@@ -224,14 +227,15 @@ VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def pick_tile(
-    p: int, k: int, cf: int, cp: int, d_out: int, n_src: int = 0
+    p: int, k: int, cf: int, cp: int, d_out: int, n_src: int = 0,
+    elem: int = 2,
 ) -> int:
     """Largest query tile whose grid cell fits the VMEM budget; 0 if none
     (the deep narrow layers whose weight blocks alone exceed VMEM — those
     stay on the XLA path where they are compute-light)."""
     t = supported_tile(p)
     while t >= 8:
-        if fused_vmem_bytes(k, cf, cp, d_out, t, n_src) <= VMEM_BUDGET:
+        if fused_vmem_bytes(k, cf, cp, d_out, t, n_src, elem) <= VMEM_BUDGET:
             return t
         if t % 2 or p % (t // 2):
             return 0
@@ -279,7 +283,9 @@ def fused_xconv(
     cin = cf + cp
     dm = params["wd"].shape[2]
     d_out = params["wp"].shape[1]
-    tile = pick_tile(p, k_n, cf, cp, d_out, n_src)
+    tile = pick_tile(
+        p, k_n, cf, cp, d_out, n_src, jnp.dtype(compute_dtype).itemsize
+    )
     if tile == 0:
         raise ValueError(f"unsupported P={p} (no tile fits VMEM)")
     cd = compute_dtype

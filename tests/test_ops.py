@@ -79,6 +79,27 @@ def test_knn_point():
     assert (np.diff(d[0], axis=1) >= -1e-6).all()
 
 
+def test_knn_subset_derivation_identity():
+    """PointCNN's subset derivation relies on: the same-set kNN rows of a
+    point set, gathered at a subset's indices, equal a fresh kNN of those
+    subset queries against the same candidates — including the tie rule.
+    Duplicated points stress the (equal distance -> lowest index) ties."""
+    rng = np.random.default_rng(11)
+    base = rng.uniform(-2, 2, (2, 48, 3)).astype(np.float32)
+    xyz = np.concatenate([base, base[:, :16]], axis=1)  # 64 pts, 16 dups
+    sidx = np.stack(
+        [rng.permutation(64)[:20].astype(np.int32) for _ in range(2)]
+    )
+    k = 6
+    _, same = grouping.knn_point(k, jnp.asarray(xyz), jnp.asarray(xyz))
+    sub = sampling.gather_point(jnp.asarray(xyz), jnp.asarray(sidx))
+    _, fresh = grouping.knn_point(k, jnp.asarray(xyz), sub)
+    derived = jnp.take_along_axis(
+        same, jnp.asarray(sidx)[:, :, None].astype(jnp.int32), axis=1
+    )
+    np.testing.assert_array_equal(np.asarray(derived), np.asarray(fresh))
+
+
 def test_group_point():
     rng = np.random.default_rng(5)
     fts = rng.normal(size=(2, 40, 6)).astype(np.float32)

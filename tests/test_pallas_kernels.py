@@ -55,6 +55,43 @@ def test_pallas_fps_matches_oracle():
         np.testing.assert_array_equal(idx[b], want)
 
 
+def test_pallas_fps_folded_matches_oracle():
+    """The small-batch sublane fold (chunk-major rows + rotation combine)
+    must select bit-identical indices. Off-TPU the dispatcher picks F=1, so
+    drive the kernel directly at F=2 in interpret mode."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from heterofusionrcnn_tpu.ops.pallas_fps import _fps_kernel
+
+    rng = np.random.default_rng(4)
+    b, n, f, npoint = 4, 256, 2, 64
+    n_f = n // f
+    xyz = jnp.asarray(rng.uniform(-10, 10, (b, n, 3)).astype(np.float32))
+    kernel = functools.partial(
+        _fps_kernel, npoint=npoint, n_f=n_f, bt=b, f=f
+    )
+
+    def fold(v):
+        return v.reshape(1, b, f, n_f).swapaxes(1, 2).reshape(f * b, n_f)
+
+    cs = pl.BlockSpec((f * b, n_f), lambda i: (i, 0))
+    out = pl.pallas_call(
+        kernel,
+        interpret=True,
+        grid=(1,),
+        out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
+        in_specs=[cs, cs, cs],
+        out_specs=pl.BlockSpec((b, npoint), lambda i: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((f * b, n_f), jnp.float32)],
+    )(*(fold(xyz[..., i]) for i in range(3)))
+    for bb in range(b):
+        want = oracles.fps_np(np.asarray(xyz)[bb], npoint)
+        np.testing.assert_array_equal(np.asarray(out)[bb], want)
+
+
 def test_dispatch_cpu_fallback():
     """On CPU, knn_point/farthest_point_sample use the XLA path (shapes that
     would hit Pallas on TPU)."""
