@@ -230,6 +230,32 @@ class ConvBNRelu(nn.Module):
             self.features, self.kernel, self.strides, padding="SAME",
             dtype=self.dtype, name="Conv_0",
         )
+        bn = nn.BatchNorm(
+            use_running_average=not training, momentum=0.99, epsilon=1e-3,
+            dtype=self.dtype, name="BatchNorm_0",
+        )
+        mode = _pallas_conv_mode(
+            training, self.kernel == (3, 3) and self.strides == (1, 1),
+            x.shape, self.features, self.dtype,
+        )
+        if mode:
+            # Inference: the whole conv+BN+ReLU block runs as ONE Pallas
+            # kernel (ops/pallas_conv.py) — XLA's conv lowering on v5e sits
+            # at a per-pixel floor ~10x off the MXU roofline (STATUS.md).
+            # 1-pixel dummy calls create/look up the params (DCE'd under
+            # jit), keeping checkpoints interchangeable with the XLA path.
+            from heterofusionrcnn_tpu.ops.pallas_conv import (
+                conv3x3_affine_relu,
+            )
+
+            bn(conv(x[:, :1, :1, :]))
+            scale, shift = _fold_bn_affine(self, "Conv_0", "BatchNorm_0")
+            return conv3x3_affine_relu(
+                x, self.variables["params"]["Conv_0"]["kernel"],
+                scale, shift, relu=True,
+                compute_dtype=self.dtype or jnp.float32,
+                interpret=(mode == "interpret"),
+            )
         use_matmul = (
             self.kernel == (3, 3)
             and self.strides == (1, 1)
@@ -245,11 +271,62 @@ class ConvBNRelu(nn.Module):
             )
         else:
             x = conv(x)
-        x = nn.BatchNorm(
-                use_running_average=not training, momentum=0.99, epsilon=1e-3,
-                dtype=self.dtype,
-            )(x)
+        x = bn(x)
         return nn.relu(x)
+
+
+def _pallas_conv_mode(training, shape_ok, x_shape, cout, dtype,
+                      transpose=False):
+    """'' = XLA path; 'tpu' / 'interpret' = fused Pallas conv kernel.
+
+    Inference-only (XLA keeps autodiff for training). Requires a 3x3 layer
+    whose (H, W) admit a VMEM-fitting tile. HFR_PALLAS_CONV=0 disables
+    (A/B knob); HFR_PALLAS_CONV_INTERPRET=1 forces interpret mode off-TPU
+    for equivalence tests."""
+    import os
+
+    import jax
+
+    if training or not shape_ok:
+        return ""
+    # Default OFF until the on-chip A/B lands (flip the default to "1" with
+    # measured numbers; the kernel is interpret-mode exact already).
+    if os.environ.get("HFR_PALLAS_CONV", "0") == "0":
+        return ""
+    if len(x_shape) != 4 or min(x_shape[1], x_shape[2]) < 3:
+        return ""
+    from heterofusionrcnn_tpu.ops.pallas_conv import pick_conv_tiles
+
+    cin = x_shape[3]
+    elem = jnp.dtype(dtype or jnp.float32).itemsize
+    if transpose:
+        fits = pick_conv_tiles(x_shape[1], x_shape[2], cin, cout, elem,
+                               im2col=False, halo=1, phases=4)
+    else:
+        fits = pick_conv_tiles(x_shape[1], x_shape[2], cin, cout, elem,
+                               im2col=cin < 128)
+    if fits[0] == 0:
+        return ""
+    if jax.default_backend() == "tpu":
+        return "tpu"
+    if os.environ.get("HFR_PALLAS_CONV_INTERPRET") == "1":
+        return "interpret"
+    return ""
+
+
+def _fold_bn_affine(mod, conv_name, bn_name, eps=1e-3):
+    """Fold inference BatchNorm (+ optional conv bias) into a per-channel
+    (scale, shift) pair: y = z * s + t for z the raw conv output."""
+    pv = mod.variables["params"]
+    bs = mod.variables["batch_stats"][bn_name]
+    g = pv[bn_name]["scale"]
+    beta = pv[bn_name]["bias"]
+    s = g / jnp.sqrt(bs["var"] + eps)
+    t = beta - bs["mean"] * s
+    bias = pv[conv_name].get("bias")
+    if bias is not None:
+        t = t + bias * s
+    return s, t
 
 
 def _convtranspose3x3_s2_matmul(x, w, b, compute_dtype):
@@ -319,6 +396,29 @@ class ConvTransposeBNRelu(nn.Module):
             self.features, self.kernel, (2, 2), padding="SAME",
             dtype=self.dtype, name="ConvTranspose_0",
         )
+        bn = nn.BatchNorm(
+            use_running_average=not training, momentum=0.99, epsilon=1e-3,
+            dtype=self.dtype, name="BatchNorm_0",
+        )
+        mode = _pallas_conv_mode(
+            training, self.kernel == (3, 3), x.shape, self.features,
+            self.dtype, transpose=True,
+        )
+        if mode:
+            from heterofusionrcnn_tpu.ops.pallas_convtranspose import (
+                convtranspose3x3_affine_relu,
+            )
+
+            bn(convt(x[:, :1, :1, :]))
+            scale, shift = _fold_bn_affine(
+                self, "ConvTranspose_0", "BatchNorm_0"
+            )
+            return convtranspose3x3_affine_relu(
+                x, self.variables["params"]["ConvTranspose_0"]["kernel"],
+                scale, shift, relu=True,
+                compute_dtype=self.dtype or jnp.float32,
+                interpret=(mode == "interpret"),
+            )
         use_matmul = (
             self.kernel == (3, 3)
             and os.environ.get("HFR_CONV_MATMUL", "0") == "1"
@@ -331,8 +431,5 @@ class ConvTransposeBNRelu(nn.Module):
             )
         else:
             x = convt(x)
-        x = nn.BatchNorm(
-                use_running_average=not training, momentum=0.99, epsilon=1e-3,
-                dtype=self.dtype,
-            )(x)
+        x = bn(x)
         return nn.relu(x)
