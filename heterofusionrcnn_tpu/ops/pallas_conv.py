@@ -10,11 +10,15 @@ emitter, not the hardware: a 3x3 conv is nine shifted (H*W, Cin) @
 (Cin, Cout) matmuls, and the MXU runs those near peak when fed from VMEM.
 
 Formulation:
-  - grid = (B, H/TH, W/TW): each cell computes a (TH, TW) output patch.
+  - grid = (B, H/TH): each cell computes TH full-width output rows. Width
+    is NOT tiled: Mosaic requires the last two block dims to be (8, 128)-
+    divisible or full, and the input halo (TW+2) and output (TW) widths
+    cannot both satisfy that unless the block is the full W.
   - The input is pre-padded by 1 in H and W (XLA pad, HBM->HBM, cheap) so
-    every cell reads an overlapping (TH+2, TW+2, Cin) window — delivered
+    every cell reads an overlapping (TH+2, W+2, Cin) window — delivered
     via `pl.Element` block dimensions (elementwise start offsets, the
-    Pallas mechanism for halo reads).
+    Pallas mechanism for halo reads; a spec with any Element dim must be
+    all-Element).
   - In-kernel, narrow-Cin layers (< 128) concatenate the nine (dy, dx)
     shifted views into an im2col (TH*TW, 9*Cin) block and hit it with ONE
     (9*Cin, Cout) matmul (K-utilization: 9x32 -> 288 beats nine K=32
@@ -39,7 +43,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 10 * 1024 * 1024
+# Mosaic's default scoped-VMEM window is 16 MB; v5e has far more physical
+# VMEM, and full-width rows at 1200 px with lane-padded channels need the
+# headroom (the pick budget leaves slack for Mosaic's own scratch).
+_VMEM_LIMIT = 48 * 1024 * 1024
+_VMEM_BUDGET = 32 * 1024 * 1024
 
 
 def _pad128(c: int) -> int:
@@ -68,26 +76,33 @@ def _conv_kernel(
     f32 = jnp.float32
     cd = w_ref.dtype
 
+    # No (TH, TW) -> (TH*TW,) reshape anywhere: TW is a full image width
+    # (not sublane-aligned), so merging those dims is a whole-buffer
+    # relayout; rank-3 dot_general contracts the lane dim in place.
     def tap(dy, dx):
-        return x_ref[0, dy:dy + th, dx:dx + tw, :].reshape(th * tw, cin)
+        return x_ref[0, dy:dy + th, dx:dx + tw, :]  # (TH, TW, Cin)
+
+    def dot3(a, w2):
+        return jax.lax.dot_general(
+            a, w2, (((2,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (TH, TW, Cout')
 
     if im2col:
         a = jnp.concatenate(
-            [tap(dy, dx) for dy in range(3) for dx in range(3)], axis=1
-        )  # (TH*TW, 9*Cin)
-        acc = jnp.dot(a, w_ref[...], preferred_element_type=f32)
+            [tap(dy, dx) for dy in range(3) for dx in range(3)], axis=2
+        )  # (TH, TW, 9*Cin)
+        acc = dot3(a, w_ref[...])
     else:
-        acc = jnp.zeros((th * tw, cout), f32)
+        acc = jnp.zeros((th, tw, cout), f32)
         for dy in range(3):
             for dx in range(3):
                 wk = w_ref[(dy * 3 + dx) * cin:(dy * 3 + dx + 1) * cin, :]
-                acc = acc + jnp.dot(
-                    tap(dy, dx), wk, preferred_element_type=f32
-                )
+                acc = acc + dot3(tap(dy, dx), wk)
     out = acc * s_ref[0] + b_ref[0]
     if relu:
         out = jnp.maximum(out, 0.0)
-    out_ref[0] = out.reshape(th, tw, cout).astype(out_ref.dtype)
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 def conv_tile_bytes(
@@ -105,6 +120,9 @@ def conv_tile_bytes(
         + phases * th * tw * cout_p * 4
         + 2 * phases * th * tw * cout_p * elem
         + 9 * cin_p * cout_p * elem  # weights (single-buffered, whole)
+        # Mosaic materializes all nine shifted tap slices (measured: a
+        # 128ch layer blew a 48 MB window the naive estimate put at 21 MB).
+        + 9 * th * tw * cin_p * elem
     )
     if im2col:
         need += th * tw * _pad128(9 * cin) * elem
@@ -115,17 +133,14 @@ def pick_conv_tiles(
     h: int, w: int, cin: int, cout: int, elem: int, im2col: bool,
     halo: int = 2, phases: int = 1,
 ) -> tuple[int, int]:
-    """Largest-area (TH, TW) divisor pair fitting the VMEM budget, favoring
-    wide TW (lane-friendly row reshapes). (0, 0) if nothing fits."""
-    best = (0, 0)
-    for tw in _divisors_desc(w, 512):
-        for th in _divisors_desc(h, 64):
-            if conv_tile_bytes(th, tw, cin, cout, elem, im2col, halo,
-                               phases) <= _VMEM_BUDGET:
-                if th * tw > best[0] * best[1]:
-                    best = (th, tw)
-                break  # smaller th only shrinks area for this tw
-    return best
+    """Largest TH divisor of H whose full-width grid cell fits the VMEM
+    budget (width is never tiled — see module docstring). (0, 0) if even
+    TH=1 does not fit."""
+    for th in _divisors_desc(h, 64):
+        if conv_tile_bytes(th, w, cin, cout, elem, im2col, halo,
+                           phases) <= _VMEM_BUDGET:
+            return (th, w)
+    return (0, 0)
 
 
 @functools.partial(
@@ -150,9 +165,11 @@ def conv3x3_affine_relu(
     """
     b, h, wd, cin = x.shape
     cout = w.shape[-1]
+    import os
+
     cd = compute_dtype
     out_dtype = out_dtype or cd
-    im2col = cin < 128
+    im2col = cin < 128 and not os.environ.get("HFR_CONV_NO_IM2COL")
     th, tw = pick_conv_tiles(
         h, wd, cin, cout, jnp.dtype(cd).itemsize, im2col
     )
@@ -168,25 +185,27 @@ def conv3x3_affine_relu(
     )
     return pl.pallas_call(
         kernel,
-        grid=(b, h // th, wd // tw),
+        grid=(b, h // th),
         in_specs=[
             pl.BlockSpec(
-                (1, pl.Element(th + 2), pl.Element(tw + 2), cin),
-                lambda i, j, k: (i, j * th, k * tw, 0),
+                (pl.Element(1), pl.Element(th + 2), pl.Element(wd + 2),
+                 pl.Element(cin)),
+                lambda i, j: (i, j * th, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((9 * cin, cout), lambda i, j, k: (0, 0),
+            pl.BlockSpec((9 * cin, cout), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda i, j, k: (0, 0),
+            pl.BlockSpec((1, cout), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda i, j, k: (0, 0),
+            pl.BlockSpec((1, cout), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, tw, cout), lambda i, j, k: (i, j, k, 0),
+            (1, th, wd, cout), lambda i, j: (i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, wd, cout), out_dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(
         xp, wim,

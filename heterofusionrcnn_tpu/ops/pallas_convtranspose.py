@@ -109,27 +109,31 @@ def convtranspose3x3_affine_relu(
     kernel = functools.partial(
         _convt_kernel, th=th, tw=tw, cin=cin, cout=cout, relu=relu
     )
+    from heterofusionrcnn_tpu.ops.pallas_conv import _VMEM_LIMIT
+
     phases = pl.pallas_call(
         kernel,
-        grid=(b, h // th, wd // tw),
+        grid=(b, h // th),
         in_specs=[
             pl.BlockSpec(
-                (1, pl.Element(th + 1), pl.Element(tw + 1), cin),
-                lambda i, j, k: (i, j * th, k * tw, 0),
+                (pl.Element(1), pl.Element(th + 1), pl.Element(wd + 1),
+                 pl.Element(cin)),
+                lambda i, j: (i, j * th, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((9 * cin, cout), lambda i, j, k: (0, 0),
+            pl.BlockSpec((9 * cin, cout), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda i, j, k: (0, 0),
+            pl.BlockSpec((1, cout), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda i, j, k: (0, 0),
+            pl.BlockSpec((1, cout), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, tw, 4 * cout), lambda i, j, k: (i, j, k, 0),
+            (1, th, wd, 4 * cout), lambda i, j: (i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, wd, 4 * cout), out_dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(
         xp, wim,

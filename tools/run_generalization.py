@@ -125,7 +125,7 @@ def main():
         s = evaluator.run_checkpoint_once(variables, step)
         curve.append(
             [step, round(s["recall_50"], 4), round(s["recall_70"], 4),
-             round(s.get("seg_acc", 0.0), 4)]
+             round(s.get("avg_seg_acc", 0.0), 4)]
         )
         print(f"[gen] RPN step {step}: val recall@0.5={s['recall_50']:.3f} "
               f"@0.7={s['recall_70']:.3f}", flush=True)
