@@ -152,8 +152,11 @@ def _xconv_kernel(
     # ---- X-apply + composed separable conv ---- #
     # out[t, d] = sum_k ( sum_j X[t,k,j] * in_j[t, :] ) @ wc[k]
     # with in_j = [f2_j | fts_j]; the two column groups accumulate through
-    # their own weight slices so no lane concat is needed.
-    acc = jnp.zeros((tile, d_out), f32)
+    # their own weight slices so no lane concat is needed. The K per-slot
+    # matmuls run as ONE batched dot_general over a leading-K stack
+    # (sublane-dim stacking is layout-free, unlike lane concat) — fewer MXU
+    # issues than 2K accumulating dots.
+    fx_fs, fx_ps = [], []
     for k in range(k_n):
         if with_x:
             fx_f = jnp.zeros((tile, cf), f32)
@@ -166,13 +169,20 @@ def _xconv_kernel(
         else:
             fx_f = f2s[k]
             fx_p = fts_j(k) if cp else None
-        acc = acc + jnp.dot(
-            fx_f.astype(cd), wcf_ref[k], preferred_element_type=f32
-        )
-        if cp:
-            acc = acc + jnp.dot(
-                fx_p.astype(cd), wcp_ref[k], preferred_element_type=f32
-            )
+        fx_fs.append(fx_f)
+        fx_ps.append(fx_p)
+
+    def batched(stacks, w_ref_):
+        return jax.lax.dot_general(
+            jnp.stack(stacks, axis=0).astype(cd),  # (K, T, C)
+            w_ref_[...],                           # (K, C, D)
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )  # (K, T, D)
+
+    acc = jnp.sum(batched(fx_fs, wcf_ref), axis=0)
+    if cp:
+        acc = acc + jnp.sum(batched(fx_ps, wcp_ref), axis=0)
 
     out = _elu(acc) * sc_ref[...] + bc_ref[...]
     out_ref[0] = out.astype(out_ref.dtype)
@@ -206,6 +216,9 @@ def fused_vmem_bytes(
         + k * cf * d_out * bf2            # wcf
         + k * max(cp, 1) * d_out * bf2    # wcp
     )
+    # Batched-tail stacks: (K, T, Cf)+(K, T, Cp) inputs and (K, T, D)
+    # batched-dot output, all f32.
+    tail = k * t * (cf + cp + d_out) * 4
     if n_src:
         blocks = 2 * (
             t * 3 * k * 4                 # xin
@@ -220,7 +233,7 @@ def fused_vmem_bytes(
     else:
         blocks = 2 * (t * 3 * k * 4 + k * t * max(cp, 1) * bf2)
         inter = t * (k * cf + k * k + 2 * d_out + cf + cp) * 4
-    return w + blocks + inter
+    return w + blocks + inter + tail
 
 
 VMEM_BUDGET = 10 * 1024 * 1024
