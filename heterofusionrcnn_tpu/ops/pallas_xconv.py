@@ -131,14 +131,18 @@ def _xconv_kernel(
     # FLOPs, which measured as the kernel's dominant cost.
     h = jnp.dot(xin.astype(cd), w1_ref[...], preferred_element_type=f32)
     h = _elu(h) * s1_ref[...] + b1_ref[...]  # (T, K*Cf)
-    f2s = []
-    for k in range(k_n):
-        hk = jnp.dot(
-            h[:, k * cf:(k + 1) * cf].astype(cd),
-            w2_ref[...],
-            preferred_element_type=f32,
-        )
-        f2s.append(_elu(hk) * s2_ref[...] + b2_ref[...])  # (T, Cf) f32
+    # Lift-2 as one batched dot over a leading-K stack (broadcast weight):
+    # leading-dim stacking/slicing is layout-free.
+    hs = jnp.stack(
+        [h[:, k * cf:(k + 1) * cf] for k in range(k_n)], axis=0
+    ).astype(cd)  # (K, T, Cf)
+    w2b = jnp.broadcast_to(w2_ref[...][None], (k_n, cf, cf))
+    f2all = jax.lax.dot_general(
+        hs, w2b, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )  # (K, T, Cf) f32
+    f2all = _elu(f2all) * s2_ref[...] + b2_ref[...]
+    f2s = [f2all[k] for k in range(k_n)]
 
     # ---- X-network ---- #
     if with_x:
