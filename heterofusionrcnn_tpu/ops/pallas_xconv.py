@@ -389,6 +389,13 @@ def fused_xconv(
         ],
         out_specs=pl.BlockSpec((1, tile, d_out), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, p, d_out), out_dtype),
+        # Mosaic's stack accounting charges every batched-dot stack copy at
+        # once (measured 21.4 MB at the RPN xconv_1 shape vs the 16 MB
+        # default window); v5e has 128 MB of physical VMEM — raise the cap
+        # like pallas_knn/pallas_conv do instead of shrinking the tile.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         xin, fts_in, *idx_args,
