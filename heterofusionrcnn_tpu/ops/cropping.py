@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from heterofusionrcnn_tpu.core.geometry import points_in_box_3d
 from heterofusionrcnn_tpu.ops.grouping import _first_k_true
+from heterofusionrcnn_tpu.ops.pallas_crop import crop_gather, crop_gather_fits
 
 
 @functools.partial(jax.jit, static_argnames=("resize",))
@@ -77,7 +78,16 @@ def pc_crop_and_sample(
     # full feature tensor.
     rows = (box_ind[:, None] * n + idx).reshape(-1)  # (Nb*R,)
     crop_pts = pts.reshape(b * n, 3)[rows].reshape(nb, resize, 3)
-    crop_fts = fts.reshape(b * n, -1)[rows].reshape(nb, resize, fts.shape[-1])
+    c = fts.shape[-1]
+    if jax.default_backend() == "tpu" and crop_gather_fits(
+        n, c, resize, fts.dtype.itemsize
+    ):
+        # The heavy gather (C=544 at inference scale) goes through the
+        # VMEM-resident Pallas kernel; XLA's flat-row gather runs at
+        # ~40 GB/s effective on this path (tools/microbench_gather.py).
+        crop_fts = crop_gather(fts, idx, box_ind)
+    else:
+        crop_fts = fts.reshape(b * n, c)[rows].reshape(nb, resize, c)
     crop_int = intensities.reshape(b * n, 1)[rows].reshape(nb, resize, 1)
     crop_mask = mask.reshape(b * n)[rows].reshape(nb, resize)
 
