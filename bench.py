@@ -184,6 +184,12 @@ def build_stages(batch_size=BATCH, dtype=None):
 def main():
     import jax  # noqa: F401
 
+    if os.environ.get("HFR_BENCH_FAIL_INJECT"):
+        # Test hook (tests/test_bench_fallback.py): simulate a kernel that
+        # fails at trace/lowering time so the safe-mode emission path is
+        # exercised without a real broken kernel.
+        raise RuntimeError("injected failure (HFR_BENCH_FAIL_INJECT)")
+
     st = build_stages(BATCH)
     fused = st["fused"]
     rpn_stage, rcnn_stage = st["rpn_stage"], st["rcnn_stage"]
@@ -274,5 +280,59 @@ def main():
     )
 
 
+def _safe_mode_retry(exc: BaseException) -> None:
+    """One broken kernel must never zero out a round's scoreboard.
+
+    If the default (Pallas-dispatching) path fails anywhere — trace, Mosaic
+    lowering, or execution — re-run this script once in safe mode
+    (HFR_FORCE_XLA_OPS=1 + HFR_NO_FUSED_XCONV=1: every op pinned to its XLA
+    twin, see ops/dispatch.py) and forward its metric line with an "error"
+    field recording the primary failure. If safe mode also fails, emit a
+    value-0 metric line with both errors rather than a bare traceback.
+    """
+    import subprocess
+
+    primary = f"{type(exc).__name__}: {exc}"[:400]
+    print(f"[bench] default path failed, retrying in safe mode: {primary}",
+          file=sys.stderr, flush=True)
+    env = dict(os.environ)
+    env["HFR_FORCE_XLA_OPS"] = "1"
+    env["HFR_NO_FUSED_XCONV"] = "1"
+    env["HFR_BENCH_SAFE_MODE"] = "1"
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    sys.stderr.write(proc.stderr)
+    line = None
+    for cand in proc.stdout.splitlines():
+        try:
+            rec = json.loads(cand)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(rec, dict) and "metric" in rec:
+            line = rec
+            break
+    if proc.returncode == 0 and line is not None:
+        line["error"] = primary
+        line["safe_mode"] = True
+    else:
+        line = {
+            "metric": "two_stage_e2e_inference_fps",
+            "value": 0.0,
+            "unit": "frames/sec/chip",
+            "vs_baseline": 0.0,
+            "error": primary,
+            "safe_mode_error": proc.stderr.strip()[-400:] or f"rc={proc.returncode}",
+        }
+    print(json.dumps(line), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("HFR_BENCH_SAFE_MODE") == "1":
+        main()  # already the fallback — let real failures surface
+    else:
+        try:
+            main()
+        except BaseException as exc:  # noqa: BLE001 — scoreboard guard
+            _safe_mode_retry(exc)

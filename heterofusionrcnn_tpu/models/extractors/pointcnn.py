@@ -36,6 +36,7 @@ from heterofusionrcnn_tpu.ops.grouping import (
     knn_point,
     sort_neighbor_indices,
 )
+from heterofusionrcnn_tpu.ops.dispatch import pallas_ok
 from heterofusionrcnn_tpu.ops.pallas_xconv import fused_xconv, pick_tile
 from heterofusionrcnn_tpu.ops.sampling import (
     farthest_point_sample,
@@ -59,7 +60,7 @@ def _fused_xconv_mode(
         return ""
     if pick_tile(p, k, cf, cp, d_out, elem=elem) == 0:
         return ""
-    if jax.default_backend() == "tpu":
+    if pallas_ok():
         return "tpu"
     if os.environ.get("HFR_FUSED_XCONV_INTERPRET") == "1":
         return "interpret"

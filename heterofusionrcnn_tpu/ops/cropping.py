@@ -21,11 +21,13 @@ site rather than in this op.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 from heterofusionrcnn_tpu.core.geometry import points_in_box_3d
+from heterofusionrcnn_tpu.ops.dispatch import pallas_ok
 from heterofusionrcnn_tpu.ops.grouping import _first_k_true
 from heterofusionrcnn_tpu.ops.pallas_crop import crop_gather, crop_gather_fits
 
@@ -79,12 +81,16 @@ def pc_crop_and_sample(
     rows = (box_ind[:, None] * n + idx).reshape(-1)  # (Nb*R,)
     crop_pts = pts.reshape(b * n, 3)[rows].reshape(nb, resize, 3)
     c = fts.shape[-1]
-    if jax.default_backend() == "tpu" and crop_gather_fits(
-        n, c, resize, fts.dtype.itemsize
+    if (
+        os.environ.get("HFR_PALLAS_CROP") == "1"
+        and pallas_ok()
+        and crop_gather_fits(n, c, resize, fts.dtype.itemsize, nb)
     ):
-        # The heavy gather (C=544 at inference scale) goes through the
-        # VMEM-resident Pallas kernel; XLA's flat-row gather runs at
-        # ~40 GB/s effective on this path (tools/microbench_gather.py).
+        # NEGATIVE RESULT, off by default (round 4, tools/microbench_crop.py
+        # on v5e): the Pallas VMEM-resident row-gather kernel runs 10.5 ms
+        # at the production shape vs XLA's flat-row gather at ~3 ms bf16 —
+        # per-row scalar addressing + sublane dynamic_gather overhead
+        # dominates; the XLA gather is the fast path.
         crop_fts = crop_gather(fts, idx, box_ind)
     else:
         crop_fts = fts.reshape(b * n, c)[rows].reshape(nb, resize, c)

@@ -19,6 +19,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from heterofusionrcnn_tpu.ops.dispatch import pallas_ok
+
 
 def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Squared euclidean distance table.
@@ -138,7 +140,7 @@ def _knn_point_impl(
     p = new_xyz.shape[1]
     n = xyz.shape[1]
 
-    if jax.default_backend() == "tpu" and k <= 16:
+    if pallas_ok() and k <= 16:
         from heterofusionrcnn_tpu.ops.pallas_knn import (
             knn_pallas,
             supported_candidate_tile,

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from heterofusionrcnn_tpu.core.rotated_iou import bev_overlap
+from heterofusionrcnn_tpu.ops.dispatch import pallas_ok
 
 _EPS = 1e-8
 _BLOCK = 64
@@ -79,7 +80,7 @@ def oriented_nms(
     # TPU: single fused Pallas kernel (bounded max_keep iterations with all
     # state in VMEM — immune to the blocked version's many-round worst case
     # on heavily overlapping candidates).
-    if jax.default_backend() == "tpu":
+    if pallas_ok():
         from heterofusionrcnn_tpu.ops.pallas_nms import oriented_nms_pallas
 
         return oriented_nms_pallas(

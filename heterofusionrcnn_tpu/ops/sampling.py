@@ -17,6 +17,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from heterofusionrcnn_tpu.ops.dispatch import pallas_ok
+
 
 @functools.partial(jax.jit, static_argnames=("npoint",))
 def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
@@ -36,7 +38,7 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     """
     b, n, _ = xyz.shape
 
-    if jax.default_backend() == "tpu" and n % 128 == 0:
+    if pallas_ok() and n % 128 == 0:
         from heterofusionrcnn_tpu.ops.pallas_fps import (
             farthest_point_sample_pallas,
         )

@@ -160,6 +160,33 @@ def main():
             nbad = int(jnp.sum(got != want))
             print(f"group_point one-hot {name}: FAIL ({nbad}/{got.size})")
 
+    # ---------------- crop_gather exactness ---------------- #
+    # Production inference shape (the exact dispatch ops/cropping.py makes:
+    # B=4, N=16384, C=544 stage-1 features, 400 boxes x 512 rows). This
+    # kernel shipped broken in round 3 because it was only interpret-tested;
+    # it must compile AND match the XLA flat-row gather bitwise on chip.
+    from heterofusionrcnn_tpu.ops.pallas_crop import crop_gather, crop_gather_fits
+
+    crop_cases = [
+        ("4x16384x544 bf16 400x512 (prod)", 4, 16384, 544, 400, 512, jnp.bfloat16),
+        ("2x4096x256 f32 64x128", 2, 4096, 256, 64, 128, np.float32),
+    ]
+    for name, b, n, c, nb, r, dtype in crop_cases:
+        assert crop_gather_fits(n, c, r, jnp.dtype(dtype).itemsize, nb), name
+        src = jnp.asarray(
+            rng.standard_normal((b, n, c)).astype(np.float32)
+        ).astype(dtype)
+        gidx = jnp.asarray(rng.integers(0, n, (nb, r)), jnp.int32)
+        bind = jnp.asarray(np.repeat(np.arange(b), nb // b), jnp.int32)
+        got = jax.jit(crop_gather)(src, gidx, bind)
+        want = src[bind[:, None], gidx]
+        if bool(jnp.all(got == want)):
+            print(f"crop_gather {name}: OK")
+        else:
+            failures += 1
+            nbad = int(jnp.sum(got != want))
+            print(f"crop_gather {name}: FAIL ({nbad}/{got.size})")
+
     # ---------------- FPS exactness ---------------- #
     def fps_xla(xyz, npoint):
         def one_batch(pts):
@@ -221,6 +248,13 @@ def main():
              jax.jit(lambda a: farthest_point_sample_pallas(a, 4096)), (pts,)),
             ("fps 400x512->128",
              jax.jit(lambda a: farthest_point_sample_pallas(a, 128)), (roi,)),
+            ("crop 4x16384x544->400x512",
+             jax.jit(crop_gather),
+             (jnp.asarray(
+                  rng.standard_normal((4, 16384, 544)).astype(np.float32)
+              ).astype(jnp.bfloat16),
+              jnp.asarray(rng.integers(0, 16384, (400, 512)), jnp.int32),
+              jnp.asarray(np.repeat(np.arange(4), 100), jnp.int32))),
         ]:
             print(f"{name:28s} {pipelined_ms(fn, fa):9.2f}")
 
