@@ -1,5 +1,12 @@
 """Pallas TPU kernel: fused 3x3 SAME conv + folded-BN affine + ReLU.
 
+NEGATIVE RESULT — DO NOT ENABLE BY DEFAULT (round 3, v5e,
+tools/microbench_conv.py): exact and oracle-tested, but ImgVggPyr e2e is
+28.4 ms (XLA) vs 29.3 ms (this kernel) at batch 4 bf16 — the VGG cost is
+intrinsic (HBM + per-op floors), not the XLA conv emitter. Kept in-tree
+behind HFR_PALLAS_CONV=1 as the documented halo-read/im2col recipe; see
+STATUS.md "Negative results".
+
 Why this exists: the VGG image branch is the single largest block of the
 fused two-stage budget (~27 ms/batch-4) and XLA's conv lowering on v5e runs
 at <8% MFU with a cost that is measured to be invariant to channel width,

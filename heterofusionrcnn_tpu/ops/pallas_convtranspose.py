@@ -1,6 +1,10 @@
 """Pallas TPU kernel: fused 3x3 stride-2 ConvTranspose + folded-BN affine +
 ReLU (the VGG pyramid decoder's upconv blocks).
 
+NEGATIVE RESULT — DO NOT ENABLE BY DEFAULT (round 3, v5e): exact and
+oracle-tested but no faster than XLA e2e (see ops/pallas_conv.py docstring
+and STATUS.md "Negative results"). Kept in-tree behind HFR_PALLAS_CONV=1.
+
 Polyphase decomposition: flax's SAME-padded kernel-3 stride-2 transpose conv
 maps output o = 2i + 2 - k (probed with a delta input), so the even output
 phase takes taps k=2 at i and k=0 at i-1, and the odd phase a single tap
