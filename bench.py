@@ -299,10 +299,27 @@ def _safe_mode_retry(exc: BaseException) -> None:
     env["HFR_FORCE_XLA_OPS"] = "1"
     env["HFR_NO_FUSED_XCONV"] = "1"
     env["HFR_BENCH_SAFE_MODE"] = "1"
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        env=env, capture_output=True, text=True, timeout=3600,
-    )
+    # Belt-and-braces: the A/B kernel knobs must not survive into safe mode
+    # (pallas_ok() already pins them, but an env-only gate would not be).
+    env["HFR_PALLAS_CONV"] = "0"
+    env["HFR_PALLAS_CROP"] = "0"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+    except subprocess.TimeoutExpired as texc:
+        # A hung safe-mode run must still leave a metric line on the
+        # scoreboard rather than an uncaught traceback.
+        print(json.dumps({
+            "metric": "two_stage_e2e_inference_fps",
+            "value": 0.0,
+            "unit": "frames/sec/chip",
+            "vs_baseline": 0.0,
+            "error": primary,
+            "safe_mode_error": f"safe-mode retry timed out: {texc}"[:400],
+        }), flush=True)
+        return
     sys.stderr.write(proc.stderr)
     line = None
     for cand in proc.stdout.splitlines():
@@ -334,5 +351,7 @@ if __name__ == "__main__":
     else:
         try:
             main()
+        except (KeyboardInterrupt, SystemExit):
+            raise  # a Ctrl-C must not trigger an hour-long safe-mode re-run
         except BaseException as exc:  # noqa: BLE001 — scoreboard guard
             _safe_mode_retry(exc)

@@ -285,8 +285,6 @@ def _pallas_conv_mode(training, shape_ok, x_shape, cout, dtype,
     for equivalence tests."""
     import os
 
-    import jax
-
     if training or not shape_ok:
         return ""
     # Default OFF until the on-chip A/B lands (flip the default to "1" with
@@ -307,7 +305,11 @@ def _pallas_conv_mode(training, shape_ok, x_shape, cout, dtype,
                                im2col=cin < 128)
     if fits[0] == 0:
         return ""
-    if jax.default_backend() == "tpu":
+    # pallas_ok() (not a raw backend test) so HFR_FORCE_XLA_OPS=1 — the
+    # bench/serving safe mode — pins the fused conv kernels to XLA too.
+    from heterofusionrcnn_tpu.ops.dispatch import pallas_ok
+
+    if pallas_ok():
         return "tpu"
     if os.environ.get("HFR_PALLAS_CONV_INTERPRET") == "1":
         return "interpret"

@@ -87,22 +87,28 @@ def _crop_gather_kernel(box_ind_ref, idx_ref, src_ref, out_ref, *, resize):
     jax.lax.fori_loop(0, resize // _ROW_GROUP, body, 0, unroll=False)
 
 
-def crop_gather_fits(
-    n: int, c: int, resize: int, itemsize: int, nb: int = 0
-) -> bool:
+def crop_gather_fits(n: int, c: int, resize: int, itemsize: int, nb: int) -> bool:
     """True when the kernel can lower AND its memory plan fits.
 
     Encodes every constraint that would otherwise surface as a Mosaic
     compile error (the round-3 bench crash was a dispatch gate that checked
     VMEM only):
       - R must be a multiple of the unrolled row group;
+      - tpu.dynamic_gather needs matching index/value bitwidths: 2-byte
+        dtypes are only legal via the i32 lane-pair packing (requires even
+        C), and 1-byte dtypes have no packing path at all;
       - double-buffered source + double-buffered out block under the VMEM
         cap (Pallas double-buffers outputs too);
-      - prefetched idx + box_ind scalars under the SMEM budget.
+      - prefetched idx + box_ind scalars under the SMEM budget (`nb` is
+        required — the kernel always prefetches the full (Nb, R) table).
     Block shapes themselves are always legal here: the source block is the
     full (N, C) slab and the out block the full (R, C) slab — both "equal
     to the respective array dimensions" under Mosaic's block rule.
     """
+    if nb <= 0:
+        raise ValueError("crop_gather_fits: nb (number of boxes) must be > 0")
+    if itemsize < 2 or (itemsize == 2 and c % 2 != 0):
+        return False
     vmem_need = 2 * n * c * itemsize + 2 * resize * c * itemsize
     smem_need = (nb * resize + nb) * 4
     return (

@@ -55,15 +55,22 @@ def test_crop_gather_duplicate_and_boundary_rows():
 def test_crop_gather_fits_gate():
     # Inference scale fits under the VMEM plan; an absurd width does not.
     assert crop_gather_fits(16384, 544, 512, 2, nb=400)
-    assert not crop_gather_fits(16384, 4096, 512, 4)
-    assert not crop_gather_fits(64, 64, _ROW_GROUP + 1, 2)  # group misalign
+    assert not crop_gather_fits(16384, 4096, 512, 4, nb=400)
+    assert not crop_gather_fits(64, 64, _ROW_GROUP + 1, 2, nb=8)  # misalign
     # f32 at production scale busts the double-buffered VMEM plan: the gate
     # must refuse (the round-3 crash was a gate that passed un-lowerable /
     # un-fittable shapes through to Mosaic).
     assert not crop_gather_fits(16384, 544, 512, 4, nb=400)
-    assert not crop_gather_fits(16380, 544, 512, 2)  # n % 8 != 0
+    assert not crop_gather_fits(16380, 544, 512, 2, nb=400)  # n % 8 != 0
     # SMEM budget: the prefetched idx table must fit scalar memory.
     assert not crop_gather_fits(16384, 544, 512, 2, nb=4000)
+    # dynamic_gather bitwidth legality: 2-byte dtype with odd C skips the
+    # i32 lane-pair packing, 1-byte dtypes never pack — both must refuse.
+    assert not crop_gather_fits(16384, 543, 512, 2, nb=400)
+    assert not crop_gather_fits(16384, 544, 512, 1, nb=400)
+    # nb is required: the SMEM check cannot be silently skipped.
+    with pytest.raises(ValueError):
+        crop_gather_fits(16384, 544, 512, 2, nb=0)
 
 
 def test_default_dispatch_is_xla_gather(monkeypatch):

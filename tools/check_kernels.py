@@ -82,6 +82,11 @@ def pipelined_ms(fn, args, iters=10, warmup=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--time", action="store_true")
+    ap.add_argument(
+        "--quarantined", action="store_true",
+        help="also check the quarantined negative-result kernels "
+             "(crop_gather — off by default in production, HFR_PALLAS_CROP=1)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -160,17 +165,21 @@ def main():
             nbad = int(jnp.sum(got != want))
             print(f"group_point one-hot {name}: FAIL ({nbad}/{got.size})")
 
-    # ---------------- crop_gather exactness ---------------- #
-    # Production inference shape (the exact dispatch ops/cropping.py makes:
-    # B=4, N=16384, C=544 stage-1 features, 400 boxes x 512 rows). This
-    # kernel shipped broken in round 3 because it was only interpret-tested;
-    # it must compile AND match the XLA flat-row gather bitwise on chip.
+    # ---------------- crop_gather exactness (QUARANTINED) ---------------- #
+    # Documented negative result: slower than the XLA flat-row gather on
+    # chip, dispatches only under HFR_PALLAS_CROP=1 (ops/cropping.py). The
+    # default matrix covers exactly the kernels that can dispatch in
+    # production; run with --quarantined (or HFR_PALLAS_CROP=1) before
+    # enabling the knob. Shapes: the exact dispatch ops/cropping.py makes —
+    # B=4, N=16384, C=544 stage-1 features, 400 boxes x 512 rows.
     from heterofusionrcnn_tpu.ops.pallas_crop import crop_gather, crop_gather_fits
 
-    crop_cases = [
-        ("4x16384x544 bf16 400x512 (prod)", 4, 16384, 544, 400, 512, jnp.bfloat16),
-        ("2x4096x256 f32 64x128", 2, 4096, 256, 64, 128, np.float32),
-    ]
+    crop_cases = []
+    if args.quarantined or os.environ.get("HFR_PALLAS_CROP") == "1":
+        crop_cases = [
+            ("4x16384x544 bf16 400x512 (prod)", 4, 16384, 544, 400, 512, jnp.bfloat16),
+            ("2x4096x256 f32 64x128", 2, 4096, 256, 64, 128, np.float32),
+        ]
     for name, b, n, c, nb, r, dtype in crop_cases:
         assert crop_gather_fits(n, c, r, jnp.dtype(dtype).itemsize, nb), name
         src = jnp.asarray(
@@ -236,7 +245,7 @@ def main():
         pts = jnp.asarray(kitti_like_cloud(rng, 4, 16384))
         sub = pts[:, :4096]
         roi = jnp.asarray(kitti_like_cloud(rng, 400, 512))
-        for name, fn, fa in [
+        timing_cases = [
             ("knn 4x16384^2 k8", jax.jit(lambda a: knn_pallas(8, a, a)), (pts,)),
             ("knn 4x4096q/16384 k8",
              jax.jit(lambda a, q: knn_pallas(8, a, q)), (pts, sub)),
@@ -248,14 +257,17 @@ def main():
              jax.jit(lambda a: farthest_point_sample_pallas(a, 4096)), (pts,)),
             ("fps 400x512->128",
              jax.jit(lambda a: farthest_point_sample_pallas(a, 128)), (roi,)),
-            ("crop 4x16384x544->400x512",
-             jax.jit(crop_gather),
-             (jnp.asarray(
-                  rng.standard_normal((4, 16384, 544)).astype(np.float32)
-              ).astype(jnp.bfloat16),
-              jnp.asarray(rng.integers(0, 16384, (400, 512)), jnp.int32),
-              jnp.asarray(np.repeat(np.arange(4), 100), jnp.int32))),
-        ]:
+        ]
+        if crop_cases:
+            timing_cases.append(
+                ("crop 4x16384x544->400x512",
+                 jax.jit(crop_gather),
+                 (jnp.asarray(
+                      rng.standard_normal((4, 16384, 544)).astype(np.float32)
+                  ).astype(jnp.bfloat16),
+                  jnp.asarray(rng.integers(0, 16384, (400, 512)), jnp.int32),
+                  jnp.asarray(np.repeat(np.arange(4), 100), jnp.int32))))
+        for name, fn, fa in timing_cases:
             print(f"{name:28s} {pipelined_ms(fn, fa):9.2f}")
 
     if failures:
