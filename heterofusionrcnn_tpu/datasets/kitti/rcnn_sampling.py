@@ -15,7 +15,7 @@ import numpy as np
 from heterofusionrcnn_tpu.datasets.kitti import augmentation as aug
 from heterofusionrcnn_tpu.datasets.kitti import calib as calib_io
 from heterofusionrcnn_tpu.datasets.kitti import labels as label_io
-from heterofusionrcnn_tpu.utils.np_box_ops import box_3d_iou_pair
+from heterofusionrcnn_tpu.utils.np_box_ops import box_3d_iou_pair, box_3d_iou_pairs
 
 KEY_RPN_PTS = "rpn_pts"
 KEY_RPN_INTENSITY = "rpn_intensity"
@@ -90,9 +90,76 @@ def random_aug_box3d(rng, box3d, method):
     raise NotImplementedError(method)
 
 
+def random_aug_boxes3d(rng, boxes3d, method, draws):
+    """Batched random_aug_box3d: (n, 7) boxes x `draws` jitters -> (n, draws, 7)
+    with the same per-draw distribution (kitti_dataset.py:717-774)."""
+    n = len(boxes3d)
+    base = boxes3d[:, None, :]
+    if method == "single":
+        pos_shift = rng.random((n, draws, 3)) - 0.5
+        hwl_scale = (rng.random((n, draws, 3)) - 0.5) / (0.5 / 0.15) + 1.0
+        angle_rot = (rng.random((n, draws, 1)) - 0.5) / (0.5 / (np.pi / 12))
+    elif method == "multiple":
+        ranges = np.asarray(_MULTI_RANGES)
+        pick = ranges[rng.integers(len(_MULTI_RANGES), size=(n, draws))]
+        pos_shift = ((rng.random((n, draws, 3)) - 0.5) / 0.5) * pick[..., 0:1]
+        hwl_scale = ((rng.random((n, draws, 3)) - 0.5) / 0.5) * pick[..., 1:2] + 1.0
+        angle_rot = ((rng.random((n, draws, 1)) - 0.5) / 0.5) * pick[..., 2:3]
+    elif method == "normal":
+        stds = np.array([0.3, 0.2, 0.3, 0.25, 0.15, 0.5])
+        shifts = rng.normal(0.0, stds, (n, draws, 6))
+        ry_shift = ((rng.random((n, draws, 1)) - 0.5) / 0.5) * np.pi / 12
+        return np.concatenate([base[..., :6] + shifts, base[..., 6:7] + ry_shift], -1)
+    else:
+        raise NotImplementedError(method)
+    return np.concatenate(
+        [base[..., 0:3] + pos_shift, base[..., 3:6] * hwl_scale,
+         base[..., 6:7] + angle_rot],
+        axis=-1,
+    )
+
+
 def aug_roi_by_noise(ds, roi_boxes3d, gt_boxes3d, aug_times=10):
     """Jitter each RoI until it still has IoU >= pos_thresh with its GT
-    (kitti_dataset.py:687-715); returns jittered rois + their 3D IoUs."""
+    (kitti_dataset.py:687-715); returns jittered rois + their 3D IoUs.
+
+    Vectorized over RoIs AND retries: the reference's lazy retry loop draws
+    candidates one at a time until the first success; here all `aug_times`
+    candidates are drawn up-front (iid, identical per-draw law), pair IoUs
+    come from one batched polygon clip, and the FIRST passing candidate is
+    selected (the last one when none pass — the loop keeps its final draw).
+    The joint law of (selected box, iou) is unchanged; only the RNG stream
+    consumption differs (tests/test_kitti_dataset.py distribution test).
+    The per-RoI Python loop this replaces was the last un-vectorized host
+    hot spot (SURVEY §7): 64 RoIs x 10 retries x a scalar polygon clip per
+    RCNN train sample.
+    """
+    rng = ds._rng
+    pos_thresh = min(ds.reg_pos_iou_range[0], ds.cls_pos_iou_range[0])
+    n = len(roi_boxes3d)
+    if n == 0:
+        return roi_boxes3d.copy(), np.zeros(0, np.float32)
+    t = aug_times
+    keep_orig = rng.random((n, t)) < 0.2
+    cands = random_aug_boxes3d(rng, roi_boxes3d, ds.config.aug_roi_method, t)
+    cands = np.where(keep_orig[..., None], roi_boxes3d[:, None, :], cands)
+    flat_iou3d, _ = box_3d_iou_pairs(
+        cands.reshape(-1, 7), np.repeat(gt_boxes3d, t, axis=0)
+    )
+    ious = flat_iou3d.reshape(n, t)
+    passing = ious >= pos_thresh
+    pick = np.where(passing.any(axis=1), np.argmax(passing, axis=1), t - 1)
+    rows = np.arange(n)
+    return (
+        cands[rows, pick].astype(roi_boxes3d.dtype),
+        ious[rows, pick].astype(np.float32),
+    )
+
+
+def aug_roi_by_noise_loop(ds, roi_boxes3d, gt_boxes3d, aug_times=10):
+    """Reference-shaped per-RoI retry loop (kitti_dataset.py:687-715) — kept
+    as the oracle for the vectorized version's distribution-equivalence
+    test."""
     rng = ds._rng
     pos_thresh = min(ds.reg_pos_iou_range[0], ds.cls_pos_iou_range[0])
     out = roi_boxes3d.copy()

@@ -41,6 +41,10 @@ def main():
     parser.add_argument("--proposal_iou_dir", default=None)
     parser.add_argument("--rpn_feature_dir", default=None)
     parser.add_argument("--num_rois", type=int, default=100)
+    parser.add_argument("--eval_batch_size", type=int, default=1,
+                        help="samples per eval dispatch (static shape; >1 "
+                             "amortizes per-dispatch latency, outputs are "
+                             "identical to batch-1)")
     args = parser.parse_args()
 
     cfg = common.resolve_config(args.pipeline_config, args.dataset_dir)
@@ -67,12 +71,16 @@ def main():
         dataset.proposal_dir = args.proposal_dir
         dataset.proposal_iou_dir = args.proposal_iou_dir
         dataset.rpn_feature_dir = args.rpn_feature_dir
-        evaluator = RcnnEvaluator(model, dataset, cfg, args.output_root)
+        evaluator = RcnnEvaluator(
+            model, dataset, cfg, args.output_root,
+            eval_batch_size=args.eval_batch_size,
+        )
         csv_name = "rcnn_eval.csv"
     else:
         evaluator = RpnEvaluator(
             model, dataset, cfg, args.output_root,
             save_rpn_feature=args.save_rpn_feature,
+            eval_batch_size=args.eval_batch_size,
         )
         csv_name = "rpn_total_recall.csv"
 

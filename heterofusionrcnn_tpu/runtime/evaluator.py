@@ -11,6 +11,13 @@ Runs a val/test epoch for one checkpoint:
 
 Also implements the checkpoint-watching loops (run_latest_checkpoints /
 repeated_checkpoint_run) with the skip-evaluated ledger.
+
+TPU addition: `eval_batch_size > 1` runs several samples per dispatch
+(static shapes, last batch padded by repetition) — outputs and per-sample
+loss/metric ledgers are identical to batch-1 (losses are vmapped
+per-sample), but the per-dispatch latency is amortized, which dominates
+eval wall-clock on a tunneled device. The reference evaluates strictly one
+sample per session.run (evaluator.py:218-312).
 """
 
 from __future__ import annotations
@@ -41,6 +48,48 @@ def _append_ledger_row(path, values, fmt):
     (evaluator.py:683-726 — '%d, %.5f, ...', no header)."""
     with open(path, "ba") as fp:
         np.savetxt(fp, np.reshape(np.asarray(values, np.float64), (1, -1)), fmt=fmt)
+
+
+def _iter_eval_batches(ds, batch_size, model, skip_name, **load_kwargs):
+    """Deterministic epoch sweep over `ds.sample_list` in index order,
+    collated to a STATIC batch size (TPU addition; the reference evaluates
+    strictly one sample per session.run, evaluator.py:218-312 — batching
+    amortizes the per-dispatch latency, which dominates eval wall-clock on
+    a tunneled device).
+
+    Samples for which `skip_name(name)` is True are skipped before loading
+    (the reference's skip-existing resume, evaluator.py:218-231). The final
+    partial batch is padded by repeating its last sample; padded rows are
+    marked False in the yielded `valid` mask and must not be written or
+    counted by the caller.
+
+    Yields (batch_dict, names, valid) with len(names) == batch_size.
+    """
+    buf = []
+    idx = 0
+    n = ds.num_samples
+    while True:
+        while idx < n and len(buf) < batch_size:
+            want = []
+            while idx < n and len(buf) + len(want) < batch_size:
+                if not skip_name(ds.sample_list[idx].name):
+                    want.append(idx)
+                idx += 1
+            if want:
+                # load_samples may return fewer dicts than asked (label-less
+                # samples are skipped by the loaders) — just keep filling.
+                buf.extend(ds.load_samples(np.asarray(want), model=model, **load_kwargs))
+        if not buf:
+            return
+        take = buf[:batch_size]
+        buf = buf[batch_size:]
+        n_valid = len(take)
+        while len(take) < batch_size:
+            take.append(take[-1])
+        batch, names = ds.collate_batch(take)
+        valid = np.zeros(batch_size, bool)
+        valid[:n_valid] = True
+        yield batch, names, valid
 
 
 def _time_stats(times):
@@ -76,11 +125,13 @@ class RpnEvaluator:
         pipeline_cfg,
         output_root: str,
         save_rpn_feature: bool = False,
+        eval_batch_size: int = 1,
     ):
         self.model = model
         self.dataset = dataset
         self.cfg = pipeline_cfg
         self.save_rpn_feature = save_rpn_feature
+        self.eval_batch_size = max(int(eval_batch_size), 1)
         name = pipeline_cfg.model_config.checkpoint_name
         self.predictions_dir = os.path.join(output_root, name, "predictions")
         self.logs_dir = os.path.join(output_root, name, "logs")
@@ -94,17 +145,39 @@ class RpnEvaluator:
         # ledgers (evaluator.py:623-797).
         self._with_loss = self._has_labels and getattr(model, "mode", "") == "val"
         if self._with_loss:
+            import jax.numpy as jnp
+
             from heterofusionrcnn_tpu.models.rpn import rpn_loss
 
             def apply_and_loss(variables, pc, img, p2, seg, reg, boxes):
                 preds = model.apply(
                     variables, pc, img, p2, seg, reg, boxes, training=False
                 )
-                loss_dict, total = rpn_loss(preds, pipeline_cfg.model_config)
-                loss_dict = dict(loss_dict, rpn_total_loss=total)
+                # Per-SAMPLE losses (vmap of the batch loss at B=1): keeps
+                # the ledger semantics of the reference's one-sample-per-run
+                # eval (evaluator.py:683-726) under any eval batch size.
+                loss_in = {k: preds[k] for k in (
+                    "foreground_mask", "seg_softmax", "seg_gt_one_hot",
+                    "cls_preds", "cls_gts", "reg_preds", "reg_gts",
+                )}
+                loss_dict, total = jax.vmap(
+                    lambda p: rpn_loss(
+                        jax.tree.map(lambda x: x[None], p),
+                        pipeline_cfg.model_config,
+                    )
+                )(loss_in)
+                loss_dict = dict(loss_dict, rpn_total_loss=total)  # (B,) each
                 keep = {
                     k: v for k, v in preds.items() if k not in _RPN_LOSS_KEYS
                 }
+                # Per-sample seg accuracy (same formula as the model's
+                # batch-mean metric, rpn.py — equal at B=1).
+                keep["seg_accuracy"] = jnp.mean(
+                    (preds["seg_preds"] == seg.astype(jnp.int32)).astype(
+                        jnp.float32
+                    ),
+                    axis=1,
+                )
                 return keep, loss_dict
 
             self._apply = jax.jit(apply_and_loss)
@@ -153,21 +226,20 @@ class RpnEvaluator:
         losses = {}
         infer_times = []
 
-        ds._index_in_epoch = 0
-        epoch0 = ds.epochs_completed
-        while ds.epochs_completed == epoch0:
-            batch, names = ds.next_batch(
-                1,
-                shuffle=False,
-                model="rpn",
-                pc_sample_pts=ic.pc_sample_pts,
-                img_w=ic.img_dims_w,
-                img_h=ic.img_dims_h,
-            )
+        def _done(name):
             # Crude resumability (evaluator.py:218-231): skip samples whose
             # output already exists from an interrupted run.
-            if os.path.exists(os.path.join(prop_dir, names[0] + ".txt")):
-                continue
+            return os.path.exists(os.path.join(prop_dir, name + ".txt"))
+
+        for batch, names, valid in _iter_eval_batches(
+            ds,
+            self.eval_batch_size,
+            "rpn",
+            _done,
+            pc_sample_pts=ic.pc_sample_pts,
+            img_w=ic.img_dims_w,
+            img_h=ic.img_dims_h,
+        ):
             t0 = time.time()
             preds, loss_dict = self._apply(
                 variables,
@@ -179,61 +251,72 @@ class RpnEvaluator:
                 batch["label_boxes_3d"],
             )
             preds = jax.device_get(preds)
-            infer_times.append(time.time() - t0)
-            if loss_dict is not None:
-                for k, v in jax.device_get(loss_dict).items():
-                    losses.setdefault(k, []).append(float(v))
-
-            name = names[0]
-            n_valid = int(preds["num_proposals_before_padding"][0])
-            proposals = preds["proposals"][0][:n_valid]
-            scores = preds["proposal_scores"][0][:n_valid]
-            np.savetxt(
-                os.path.join(prop_dir, name + ".txt"),
-                np.hstack([proposals, scores[:, None]]),
-                fmt="%.3f",
+            per_sample_time = (time.time() - t0) / len(valid)
+            loss_host = (
+                jax.device_get(loss_dict) if loss_dict is not None else None
             )
 
-            if self._has_labels:
-                m = int(batch["label_num_boxes"][0])
-                label_boxes = batch["label_boxes_3d"][0][:m]
-                label_cls = batch["label_classes"][0][:m]
-                iou3d_table = preds["proposal_iou3d"][0][:n_valid, :m]
-                iou2d_table = preds["proposal_iou2d"][0][:n_valid, :m]
-                np.savetxt(os.path.join(iou_dir, name + ".txt"), iou3d_table)
+            for b in np.flatnonzero(valid):
+                infer_times.append(per_sample_time)
+                if loss_host is not None:
+                    for k, v in loss_host.items():
+                        losses.setdefault(k, []).append(
+                            float(np.asarray(v)[b])
+                        )
 
-                r50, r70, iou2ds, iou3ds, iou3ds_gt_boxes, _, _ = (
-                    compute_recall_iou(
-                        proposals, label_boxes, label_cls, iou2d_table,
-                        iou3d_table,
-                    )
+                name = names[b]
+                n_valid = int(preds["num_proposals_before_padding"][b])
+                proposals = preds["proposals"][b][:n_valid]
+                scores = preds["proposal_scores"][b][:n_valid]
+                np.savetxt(
+                    os.path.join(prop_dir, name + ".txt"),
+                    np.hstack([proposals, scores[:, None]]),
+                    fmt="%.3f",
                 )
-                stats["recall_50"] += r50
-                stats["recall_70"] += r70
-                stats["num_gt"] += m
-                stats["iou2d"].extend(iou2ds.tolist())
-                stats["iou3d"].extend(iou3ds.tolist())
-                # Angle residual vs the best-IoU GT (reference
-                # evaluator.py:1047-1049).
-                if n_valid > 0:
-                    stats["angle_res"] += float(
-                        np.sum(np.abs(proposals[:, 6] - iou3ds_gt_boxes[:, 6]))
-                    )
-            if "seg_accuracy" in preds:
-                stats["seg_acc"].append(float(preds["seg_accuracy"]))
-            stats["num_proposals"].append(n_valid)
 
-            if self.save_rpn_feature:
-                arr = np.hstack(
-                    [
-                        preds["rpn_pts"][0],
-                        preds["rpn_intensity"][0].reshape(-1, 1),
-                        preds["foreground_mask"][0].reshape(-1, 1).astype(np.float32),
-                        preds["rpn_fts"][0],
-                        preds["rpn_img_fts"][0],
-                    ]
-                )
-                np.save(os.path.join(feat_dir, name + ".npy"), arr)
+                if self._has_labels:
+                    m = int(batch["label_num_boxes"][b])
+                    label_boxes = batch["label_boxes_3d"][b][:m]
+                    label_cls = batch["label_classes"][b][:m]
+                    iou3d_table = preds["proposal_iou3d"][b][:n_valid, :m]
+                    iou2d_table = preds["proposal_iou2d"][b][:n_valid, :m]
+                    np.savetxt(os.path.join(iou_dir, name + ".txt"), iou3d_table)
+
+                    r50, r70, iou2ds, iou3ds, iou3ds_gt_boxes, _, _ = (
+                        compute_recall_iou(
+                            proposals, label_boxes, label_cls, iou2d_table,
+                            iou3d_table,
+                        )
+                    )
+                    stats["recall_50"] += r50
+                    stats["recall_70"] += r70
+                    stats["num_gt"] += m
+                    stats["iou2d"].extend(iou2ds.tolist())
+                    stats["iou3d"].extend(iou3ds.tolist())
+                    # Angle residual vs the best-IoU GT (reference
+                    # evaluator.py:1047-1049).
+                    if n_valid > 0:
+                        stats["angle_res"] += float(
+                            np.sum(np.abs(proposals[:, 6] - iou3ds_gt_boxes[:, 6]))
+                        )
+                if "seg_accuracy" in preds:
+                    acc = np.asarray(preds["seg_accuracy"])
+                    stats["seg_acc"].append(
+                        float(acc[b]) if acc.ndim else float(acc)
+                    )
+                stats["num_proposals"].append(n_valid)
+
+                if self.save_rpn_feature:
+                    arr = np.hstack(
+                        [
+                            preds["rpn_pts"][b],
+                            preds["rpn_intensity"][b].reshape(-1, 1),
+                            preds["foreground_mask"][b].reshape(-1, 1).astype(np.float32),
+                            preds["rpn_fts"][b],
+                            preds["rpn_img_fts"][b],
+                        ]
+                    )
+                    np.save(os.path.join(feat_dir, name + ".npy"), arr)
 
         tstats = _time_stats(infer_times)
         num_proposals_total = max(int(np.sum(stats["num_proposals"])), 1)
@@ -299,10 +382,14 @@ class RpnEvaluator:
 class RcnnEvaluator:
     """Stage-2 evaluator: final predictions + KITTI-format conversion."""
 
-    def __init__(self, model, dataset, pipeline_cfg, output_root: str):
+    def __init__(
+        self, model, dataset, pipeline_cfg, output_root: str,
+        eval_batch_size: int = 1,
+    ):
         self.model = model
         self.dataset = dataset
         self.cfg = pipeline_cfg
+        self.eval_batch_size = max(int(eval_batch_size), 1)
         name = pipeline_cfg.model_config.checkpoint_name
         self.predictions_dir = os.path.join(output_root, name, "predictions")
         self.logs_dir = os.path.join(output_root, name, "logs")
@@ -313,15 +400,41 @@ class RcnnEvaluator:
             getattr(model, "mode", "") == "val"
         )
         if self._with_loss:
+            import jax.numpy as jnp
+
             from heterofusionrcnn_tpu.models.rcnn import rcnn_loss
 
             def apply_and_loss(variables, *args):
                 preds = model.apply(variables, *args, training=False)
-                loss_dict, total = rcnn_loss(preds, pipeline_cfg.model_config)
-                loss_dict = dict(loss_dict, rcnn_total_loss=total)
+                # The RCNN flattens batch x rois to one leading axis
+                # (rcnn.py N = B * n, batch-major); reshape the loss inputs
+                # back to (B, n, ...) and vmap for per-SAMPLE losses —
+                # ledger semantics identical to batch-1 eval at any batch.
+                b, n = args[0].shape[:2]  # rpn_roi (B, n, 7)
+                loss_in = {k: preds[k] for k in (
+                    "cls_logits", "cls_gt_one_hot", "pos_neg_cls_mask",
+                    "pos_reg_mask", "mb_cls_preds", "mb_cls_gts",
+                    "mb_reg_preds", "mb_reg_gts",
+                )}
+                loss_in = jax.tree.map(
+                    lambda x: x.reshape((b, n) + x.shape[1:]), loss_in
+                )
+                loss_dict, total = jax.vmap(
+                    lambda p: rcnn_loss(p, pipeline_cfg.model_config)
+                )(loss_in)
+                loss_dict = dict(loss_dict, rcnn_total_loss=total)  # (B,)
                 keep = {
                     k: v for k, v in preds.items() if k not in _RCNN_LOSS_KEYS
                 }
+                # Per-sample cls accuracy (same formula as the model's
+                # batch metric, rcnn.py — equal at B=1; cls_gt is recovered
+                # exactly from its one-hot since cls_gt in [0, K]).
+                cls_pred = jnp.argmax(loss_in["cls_logits"], -1)
+                cls_gt = jnp.argmax(loss_in["cls_gt_one_hot"], -1)
+                m = loss_in["pos_neg_cls_mask"].astype(jnp.float32)
+                keep["cls_accuracy"] = jnp.sum(
+                    (cls_pred == cls_gt) * m, axis=1
+                ) / jnp.maximum(jnp.sum(m, axis=1), 1)
                 return keep, loss_dict
 
             self._apply = jax.jit(apply_and_loss)
@@ -350,19 +463,19 @@ class RcnnEvaluator:
         infer_times = []
         cls_accs = []
         losses = {}
-        ds._index_in_epoch = 0
-        epoch0 = ds.epochs_completed
-        while ds.epochs_completed == epoch0:
-            batch, names = ds.next_batch(
-                1,
-                shuffle=False,
-                model="rcnn",
-                img_w=ic.img_dims_w,
-                img_h=ic.img_dims_h,
-                num_rois=num_rois,
-            )
-            if os.path.exists(os.path.join(final_dir, names[0] + ".txt")):
-                continue
+
+        def _done(name):
+            return os.path.exists(os.path.join(final_dir, name + ".txt"))
+
+        for batch, names, valid in _iter_eval_batches(
+            ds,
+            self.eval_batch_size,
+            "rcnn",
+            _done,
+            img_w=ic.img_dims_w,
+            img_h=ic.img_dims_h,
+            num_rois=num_rois,
+        ):
             t0 = time.time()
             preds, loss_dict = self._apply(
                 variables,
@@ -377,27 +490,36 @@ class RcnnEvaluator:
                 batch["stereo_calib_p2"],
             )
             preds = jax.device_get(preds)
-            infer_times.append(time.time() - t0)
-            if loss_dict is not None:
-                for k, v in jax.device_get(loss_dict).items():
-                    losses.setdefault(k, []).append(float(v))
-            if "cls_accuracy" in preds:
-                cls_accs.append(float(preds["cls_accuracy"]))
+            per_sample_time = (time.time() - t0) / len(valid)
+            loss_host = (
+                jax.device_get(loss_dict) if loss_dict is not None else None
+            )
 
-            name = names[0]
-            n_valid = int(preds["num_boxes_before_padding"][0])
-            boxes = preds["final_boxes"][0][:n_valid]
-            scores = preds["final_scores"][0][:n_valid]
-            types = preds["final_classes"][0][:n_valid]
+            for b in np.flatnonzero(valid):
+                infer_times.append(per_sample_time)
+                if loss_host is not None:
+                    for k, v in loss_host.items():
+                        losses.setdefault(k, []).append(
+                            float(np.asarray(v)[b])
+                        )
+                if "cls_accuracy" in preds:
+                    acc = np.asarray(preds["cls_accuracy"])
+                    cls_accs.append(float(acc[b]) if acc.ndim else float(acc))
 
-            # Dedup (NMS padding may duplicate boxes — reference
-            # save_rcnn_predicted_boxes_3d_and_scores :1104-1108).
-            boxes, uniq = np.unique(boxes, axis=0, return_index=True)
-            scores = scores[uniq]
-            types = types[uniq]
-            order = np.argsort(-scores)
-            rows = np.column_stack([boxes, scores, types])[order]
-            np.savetxt(os.path.join(final_dir, name + ".txt"), rows, fmt="%.5f")
+                name = names[b]
+                n_valid = int(preds["num_boxes_before_padding"][b])
+                boxes = preds["final_boxes"][b][:n_valid]
+                scores = preds["final_scores"][b][:n_valid]
+                types = preds["final_classes"][b][:n_valid]
+
+                # Dedup (NMS padding may duplicate boxes — reference
+                # save_rcnn_predicted_boxes_3d_and_scores :1104-1108).
+                boxes, uniq = np.unique(boxes, axis=0, return_index=True)
+                scores = scores[uniq]
+                types = types[uniq]
+                order = np.argsort(-scores)
+                rows = np.column_stack([boxes, scores, types])[order]
+                np.savetxt(os.path.join(final_dir, name + ".txt"), rows, fmt="%.5f")
 
         kitti_dir = save_predictions_in_kitti_format(
             ds,

@@ -88,6 +88,103 @@ def box_3d_iou_pair(box_a: np.ndarray, box_b: np.ndarray):
     return iou_3d, iou_2d
 
 
+def _bev_corners_batch(boxes_3d: np.ndarray) -> np.ndarray:
+    """(M, 7) box_3d -> (M, 4, 2) CCW BEV footprints (batched _bev_corners)."""
+    x, z = boxes_3d[:, 0], boxes_3d[:, 2]
+    l, w = boxes_3d[:, 3], boxes_3d[:, 4]
+    c, s = np.cos(boxes_3d[:, 6]), np.sin(boxes_3d[:, 6])
+    signs = np.array([(-1, -1), (1, -1), (1, 1), (-1, 1)], np.float64)
+    dx = signs[None, :, 0] * (l / 2.0)[:, None]  # (M, 4)
+    dz = signs[None, :, 1] * (w / 2.0)[:, None]
+    px = dx * c[:, None] + dz * s[:, None] + x[:, None]
+    pz = -dx * s[:, None] + dz * c[:, None] + z[:, None]
+    return np.stack([px, pz], axis=-1)
+
+
+def box_3d_iou_pairs(boxes_a: np.ndarray, boxes_b: np.ndarray):
+    """Elementwise 3D and BEV IoU of two (M, 7) box arrays -> ((M,), (M,)).
+
+    Vectorized Sutherland-Hodgman with the same inside/intersection rules as
+    the scalar `box_3d_iou_pair` (d_cur >= 0 keeps, strict/non-strict sign
+    change inserts): each A footprint is clipped by the 4 half-planes of its
+    B footprint. A convex quad gains at most one vertex per clip pass, so
+    the slot count grows 4 -> 8 with per-pass compaction (stable argsort on
+    the emit-validity mask). Used by the RCNN RoI-noise augmentation, which
+    evaluates all its jitter candidates in one batch.
+    """
+    boxes_a = np.asarray(boxes_a, np.float64)
+    boxes_b = np.asarray(boxes_b, np.float64)
+    m = boxes_a.shape[0]
+    if m == 0:
+        z = np.zeros(0, np.float64)
+        return z, z
+
+    poly = _bev_corners_batch(boxes_a)          # (M, V, 2), V grows 4 -> 8
+    mask = np.ones((m, 4), bool)
+    cnt = np.full(m, 4, np.int64)
+    clip = _bev_corners_batch(boxes_b)          # (M, 4, 2)
+    rows = np.arange(m)[:, None]
+
+    for e in range(4):
+        p0 = clip[:, e]                          # (M, 2)
+        p1 = clip[:, (e + 1) % 4]
+        v = poly.shape[1]
+        j = np.arange(v)[None, :]
+        nxt_j = np.where(j + 1 < cnt[:, None], j + 1, 0)
+        cur = poly
+        nxt = poly[rows, nxt_j]
+        ex = (p1[:, 0] - p0[:, 0])[:, None]
+        ez = (p1[:, 1] - p0[:, 1])[:, None]
+        d_cur = ex * (cur[..., 1] - p0[:, None, 1]) - ez * (
+            cur[..., 0] - p0[:, None, 0]
+        )
+        d_nxt = ex * (nxt[..., 1] - p0[:, None, 1]) - ez * (
+            nxt[..., 0] - p0[:, None, 0]
+        )
+        keep_cur = mask & (d_cur >= 0)
+        crossed = mask & (((d_cur < 0) & (d_nxt >= 0)) | ((d_nxt < 0) & (d_cur >= 0)))
+        denom = d_cur - d_nxt
+        t = np.where(crossed, d_cur / np.where(crossed, denom, 1.0), 0.0)
+        inter = cur + t[..., None] * (nxt - cur)
+
+        # Interleave (cur, intersection) per input edge, then compact the
+        # valid slots (stable sort keeps polygon order) into V + 1 slots.
+        emitted = np.empty((m, 2 * v, 2), np.float64)
+        emitted[:, 0::2] = cur
+        emitted[:, 1::2] = inter
+        emit_valid = np.empty((m, 2 * v), bool)
+        emit_valid[:, 0::2] = keep_cur
+        emit_valid[:, 1::2] = crossed
+        order = np.argsort(~emit_valid, axis=1, kind="stable")[:, : v + 1]
+        poly = emitted[rows, order]
+        mask = np.take_along_axis(emit_valid, order, axis=1)
+        cnt = emit_valid.sum(axis=1)
+
+    # Shoelace over the valid prefix: pad tail slots with the last valid
+    # vertex (duplicates contribute zero area).
+    v = poly.shape[1]
+    j = np.arange(v)[None, :]
+    fill_j = np.minimum(j, np.maximum(cnt - 1, 0)[:, None])
+    filled = poly[rows, fill_j]
+    x, z = filled[..., 0], filled[..., 1]
+    inter_area = 0.5 * np.abs(
+        np.sum(x * np.roll(z, -1, axis=1) - z * np.roll(x, -1, axis=1), axis=1)
+    )
+    inter_area = np.where(cnt >= 3, inter_area, 0.0)
+
+    area_a = boxes_a[:, 3] * boxes_a[:, 4]
+    area_b = boxes_b[:, 3] * boxes_b[:, 4]
+    iou_2d = inter_area / np.maximum(area_a + area_b - inter_area, 1e-8)
+
+    ymax = np.minimum(boxes_a[:, 1], boxes_b[:, 1])
+    ymin = np.maximum(boxes_a[:, 1] - boxes_a[:, 5], boxes_b[:, 1] - boxes_b[:, 5])
+    inter_3d = inter_area * np.maximum(ymax - ymin, 0.0)
+    vol_a = area_a * boxes_a[:, 5]
+    vol_b = area_b * boxes_b[:, 5]
+    iou_3d = inter_3d / np.maximum(vol_a + vol_b - inter_3d, 1e-8)
+    return iou_3d, iou_2d
+
+
 def points_in_box(points: np.ndarray, box_3d: np.ndarray, eps: float = 1e-6):
     """(N, 3) points inside one oriented box_3d -> (N,) bool mask.
 
