@@ -10,7 +10,14 @@ rpn_model.py:60-93):
 
 Everything is static-shape: the decode runs over all P points, pre-NMS top-k
 and post-NMS sizes are fixed with -1-padded indices, matching the reference's
-fixed_num_proposal_nms=True configuration.
+fixed_num_proposal_nms=True configuration. With
+rpn_fixed_num_proposal_nms=False the reference instead resamples exactly
+NUM_FG_POINT foreground points before the bin head in val/test
+(rpn_model.py:495-511, model_util.foreground_masking) and lets NMS emit a
+variable keep count (unique + -1 padding); here that resample is a static
+top-k-by-seg-score over the mask with wrap-fill (`foreground_resample_indices`)
+— deterministic where the reference shuffles in a host py_func, same selected
+SET whenever the mask has <= NUM_FG_POINT points.
 
 Inputs (from KittiDataset batches):
   pc_input (B, P, 4), img_input (B, H, W, 3), calib_p2 (B, 3, 4),
@@ -58,6 +65,41 @@ def create_path_drop_masks(p_img, p_pc, random_values):
     final_img = jnp.where(both_dead, img_second, img)
     final_pc = jnp.where(both_dead, pc_second, pc)
     return final_img, final_pc
+
+
+# Fixed foreground-resample size of the non-fixed-NMS path (reference
+# rpn_model.py:88 NUM_FG_POINT).
+NUM_FG_POINT = 2048
+
+
+def foreground_resample_indices(mask, scores, npoint):
+    """Static-shape twin of model_util.point_cloud_masking (:11-40): pick
+    `npoint` indices from each row's True positions.
+
+    The reference selects a RANDOM subset (np.random.choice in a py_func)
+    and pads short rows by resampling with replacement; random host
+    callbacks don't exist under jit, so this picks the TOP-`npoint` by
+    `scores` among masked points (any fixed tie-break is as valid as a
+    random one — the downstream bin head sees a fixed-size set of
+    foreground points either way) and wrap-fills short rows by repeating
+    the selected points in order. An all-False row selects index 0
+    `npoint` times, exactly like the reference's zero-initialized indices.
+
+    Args:
+      mask: (B, P) bool foreground mask.
+      scores: (B, P) float selection preference (seg scores).
+      npoint: static output count.
+    Returns:
+      (B, npoint) int32 indices into P.
+    """
+    key = jnp.where(mask, scores.astype(jnp.float32), -jnp.inf)
+    _, idx = jax.lax.top_k(key, npoint)  # masked-out filler ranks last
+    idx = idx.astype(jnp.int32)
+    count = jnp.sum(mask, axis=1, keepdims=True).astype(jnp.int32)  # (B, 1)
+    j = jnp.arange(npoint, dtype=jnp.int32)[None, :]
+    wrap = jnp.where(count > 0, j % jnp.maximum(count, 1), 0)
+    wrapped = jnp.take_along_axis(idx, wrap, axis=1)
+    return jnp.where(j < count, idx, wrapped)
 
 
 def _take_class(x, cls):
@@ -182,6 +224,42 @@ class RpnModel(nn.Module):
         else:
             foreground_mask = seg_preds > 0
 
+        # GT tensors feeding the bin-head encodings; rebound to the
+        # resampled views below (the seg loss/accuracy keep the full-res
+        # label_segs — the reference's seg head also trains over all P,
+        # rpn_model.py:1040-1060).
+        enc_label_segs, enc_label_regs = label_segs, label_regs
+
+        # Non-fixed-NMS path (reference :496-511): in val/test resample
+        # exactly NUM_FG_POINT foreground points (and everything the bin
+        # head consumes) before fusion; NMS then sees all of them (no
+        # pre-NMS top-k cut — :645-668) and emits a variable keep count.
+        if (
+            self.mode in ("val", "test")
+            and not rpn_cfg.rpn_fixed_num_proposal_nms
+        ):
+            F = min(NUM_FG_POINT, P)
+            fg_idx = foreground_resample_indices(
+                foreground_mask, seg_scores, F
+            )  # (B, F)
+
+            def _take_rows(a):
+                if a is None:
+                    return None
+                idx = fg_idx[..., None] if a.ndim == 3 else fg_idx
+                return jnp.take_along_axis(a, idx, axis=1)
+
+            pc_pts_out = _take_rows(pc_pts_out)
+            pc_fts = _take_rows(pc_fts)
+            proj_img_fts = _take_rows(proj_img_fts)
+            pc_intensity = _take_rows(pc_intensity)
+            seg_fg_preds = _take_rows(seg_fg_preds)
+            seg_scores = _take_rows(seg_scores)
+            foreground_mask = _take_rows(foreground_mask)
+            enc_label_segs = _take_rows(enc_label_segs)
+            enc_label_regs = _take_rows(enc_label_regs)
+            P = F
+
         # ---------------- fusion (+ path drop) ---------------- #
         proposal_fts = pc_fts
         proposal_img_fts = proj_img_fts
@@ -264,6 +342,11 @@ class RpnModel(nn.Module):
                 else rpn_cfg.rpn_test_nms_iou_thresh
             )
             pre = min(pre, P)
+            if not rpn_cfg.rpn_fixed_num_proposal_nms:
+                # Non-fixed path: no pre-NMS cut — every (resampled) point's
+                # proposal goes to NMS (reference :645-668 else-branch); the
+                # top_k below then just score-sorts all P of them.
+                pre = P
 
             top_conf, top_idx = jax.lax.top_k(confidences, pre)  # (B, pre)
             top_proposals = jnp.take_along_axis(
@@ -294,21 +377,24 @@ class RpnModel(nn.Module):
         if self.mode in ("train", "val") and label_segs is not None:
             label_cls = label_segs.astype(jnp.int32)  # -1 ignore, 0 bg, 1..K
             segs_gt_one_hot = jax.nn.one_hot(label_cls, K + 1)
+            # The bin-head targets follow the (possibly FG-resampled) points;
+            # the seg targets above always stay full-res.
+            enc_label_cls = enc_label_segs.astype(jnp.int32)
 
             # Mean size per point for its GT class; background row = mean of
             # class means (reference _gather_cls_mean_sizes :370-399).
             bg_row = jnp.mean(cluster_sizes, axis=0, keepdims=True)
             size_table = jnp.concatenate([bg_row, cluster_sizes], axis=0)
-            mean_sizes_pt = size_table[jnp.clip(label_cls, 0, K)]  # (B, P, 3)
+            mean_sizes_pt = size_table[jnp.clip(enc_label_cls, 0, K)]  # (B, P, 3)
 
             enc = bin_codec.encode_rpn(
-                pc_pts_out, label_regs, mean_sizes_pt,
+                pc_pts_out, enc_label_regs, mean_sizes_pt,
                 jnp.asarray(S), jnp.asarray(DELTA), R, DELTA_THETA, K,
             )
             (bin_x_gt, res_x_gt, bin_z_gt, res_z_gt,
              bin_theta_gt, res_theta_gt, res_y_gt, res_size_gt) = enc
 
-            cls0 = jnp.clip(label_cls - 1, 0, K - 1)  # 0-based FG class
+            cls0 = jnp.clip(enc_label_cls - 1, 0, K - 1)  # 0-based FG class
             bin_x_gt = _take_class(bin_x_gt[..., None], cls0).squeeze(-1)
             res_x_gt = _take_class(res_x_gt[..., None], cls0).squeeze(-1)
             bin_z_gt = _take_class(bin_z_gt[..., None], cls0).squeeze(-1)
@@ -373,8 +459,10 @@ def rpn_loss(predictions, config: ModelConfig):
     seg_softmax = predictions["seg_softmax"]
     seg_gt = predictions["seg_gt_one_hot"]
 
-    B, P = fg_mask.shape
-    num_total = B * P
+    # Seg-loss normalizer from the SEG arrays' own shape: in the non-fixed
+    # FG-resample path the bin-head tensors (and fg_mask) live on the
+    # resampled points while segmentation stays full-res.
+    num_total = seg_softmax.shape[0] * seg_softmax.shape[1]
 
     # Ignore-label points (-1) contribute a zero one-hot row, hence no loss —
     # matching tf.one_hot's behavior for negative labels.
