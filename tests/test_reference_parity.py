@@ -650,3 +650,38 @@ def test_box_2d_ops_match_reference_box_list_ops():
     ref_ioa_max = ref_blo.ioa(ref_b, ref_a).numpy().max(axis=0)
     my_over = np.asarray(my2d.prune_non_overlapping_mask(a_xy, b_xy, 0.3))
     np.testing.assert_array_equal(ref_ioa_max >= 0.3, my_over)
+
+
+def test_anchor_projector_bev_and_image_parity():
+    """project_to_bev / project_to_image_space vs the reference's
+    anchor_projector (:13-79, :80-171) — the legacy anchor (N, 6) surface."""
+    from hf.core import anchor_projector as ref_ap
+
+    from heterofusionrcnn_tpu.core.projection import (
+        project_anchors_to_bev,
+        project_anchors_to_image_space,
+    )
+
+    rng = np.random.default_rng(0)
+    anchors = np.concatenate(
+        [
+            rng.uniform([-30, -1, 0], [30, 3, 70], (64, 3)),
+            rng.uniform([1.0, 1.0, 1.0], [5.0, 2.5, 2.5], (64, 3)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    bev_extents = [[-40.0, 40.0], [0.0, 70.0]]
+
+    ref_c, ref_n = ref_ap.project_to_bev(anchors, bev_extents)
+    my_c, my_n = project_anchors_to_bev(anchors, bev_extents)
+    np.testing.assert_allclose(np.asarray(my_c), ref_c, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(my_n), ref_n, rtol=1e-5, atol=1e-5)
+
+    calib = ref_calib.read_calibration(REF_DATA + "/calib", 0)
+    image_shape = (375, 1242)
+    ref_b, ref_bn = ref_ap.project_to_image_space(
+        anchors, calib.p2, image_shape
+    )
+    my_b, my_bn = project_anchors_to_image_space(anchors, calib.p2, image_shape)
+    np.testing.assert_allclose(np.asarray(my_b), ref_b, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(my_bn), ref_bn, rtol=1e-4, atol=1e-4)
