@@ -73,6 +73,9 @@ def main():
                         help="image-extractor downsample factor (the half-res "
                              "A/B arm trains AND evaluates at this factor)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--eval_batch_size", type=int, default=1,
+                        help="samples per eval dispatch (outputs identical "
+                             "to batch-1; amortizes tunnel latency)")
     parser.add_argument("--platform", default=None,
                         help="force a jax platform (e.g. cpu); needed because "
                              "the axon TPU plugin overrides JAX_PLATFORMS")
@@ -112,7 +115,10 @@ def main():
     eval_cfg = _apply_ds(_val_mode_cfg(args.rpn_config, args.dataset_dir))
     eds = common.build_dataset(eval_cfg, "val", args.eval_split)
     vmodel, _ = common.build_model(eval_cfg, eds, "val")
-    evaluator = RpnEvaluator(vmodel, eds, eval_cfg, args.output_root)
+    evaluator = RpnEvaluator(
+        vmodel, eds, eval_cfg, args.output_root,
+        eval_batch_size=args.eval_batch_size,
+    )
     name = rpn_cfg.model_config.checkpoint_name
     mgr = CheckpointManager(os.path.join(args.output_root, name, "checkpoints"))
     curve = []
@@ -150,7 +156,8 @@ def main():
         hds = common.build_dataset(hand_cfg, "val", split)
         hmodel, _ = common.build_model(hand_cfg, hds, "val", save_rpn_feature=True)
         hev = RpnEvaluator(
-            hmodel, hds, hand_cfg, handoff_root, save_rpn_feature=True
+            hmodel, hds, hand_cfg, handoff_root, save_rpn_feature=True,
+            eval_batch_size=args.eval_batch_size,
         )
         s = hev.run_checkpoint_once(final_vars, rpn_step)
         print(f"[gen] handoff {split}: recall@0.5={s['recall_50']:.3f}", flush=True)
@@ -198,7 +205,10 @@ def main():
         for attr, path in handoff_dirs(split).items():
             setattr(vds, attr, path)
         rvmodel, _ = common.build_model(rv_cfg, vds, "val")
-        rev = RcnnEvaluator(rvmodel, vds, rv_cfg, args.output_root)
+        rev = RcnnEvaluator(
+            rvmodel, vds, rv_cfg, args.output_root,
+            eval_batch_size=args.eval_batch_size,
+        )
         out = []
         for step in steps:
             restored = rmgr.restore_raw(step)
