@@ -76,6 +76,11 @@ def main():
     parser.add_argument("--eval_batch_size", type=int, default=1,
                         help="samples per eval dispatch (outputs identical "
                              "to batch-1; amortizes tunnel latency)")
+    parser.add_argument("--resume_from_handoff", action="store_true",
+                        help="skip RPN training / recall sweep / handoff and "
+                             "run only the RCNN stages, reusing the latest "
+                             "RPN checkpoint and the existing handoff files "
+                             "under <output_root>/handoff")
     parser.add_argument("--platform", default=None,
                         help="force a jax platform (e.g. cpu); needed because "
                              "the axon TPU plugin overrides JAX_PLATFORMS")
@@ -91,76 +96,106 @@ def main():
     gen_dir = os.path.join(args.output_root, "generalization")
     os.makedirs(gen_dir, exist_ok=True)
 
-    # ---------------- stage 1: RPN training on the train split ----------- #
     rpn_cfg = _apply_ds(common.resolve_config(args.rpn_config, args.dataset_dir))
     rpn_cfg.train_config.max_iterations = args.rpn_iterations
     rpn_cfg.train_config.checkpoint_interval = args.checkpoint_interval
-    ds = common.build_dataset(rpn_cfg, "train", args.train_split)
-    ds.seed(args.seed)
-    model, loss_fn = common.build_model(rpn_cfg, ds, "train")
-    next_batch = common.make_batch_fn(
-        rpn_cfg, ds, "rpn", rpn_cfg.train_config.batch_size
-    )
-    state = train(
-        model=model, loss_fn=loss_fn, make_train_step=make_rpn_train_step,
-        init_batch=next_batch(), next_batch=next_batch,
-        pipeline_cfg=rpn_cfg, output_root=args.output_root,
-        seed=args.seed,
-    )
-    rpn_step = int(state.step)
-    del state
-    print(f"[gen] RPN trained to step {rpn_step}", flush=True)
-
-    # ---------------- stage 1b: recall curve on the VAL split ------------ #
-    eval_cfg = _apply_ds(_val_mode_cfg(args.rpn_config, args.dataset_dir))
-    eds = common.build_dataset(eval_cfg, "val", args.eval_split)
-    vmodel, _ = common.build_model(eval_cfg, eds, "val")
-    evaluator = RpnEvaluator(
-        vmodel, eds, eval_cfg, args.output_root,
-        eval_batch_size=args.eval_batch_size,
-    )
     name = rpn_cfg.model_config.checkpoint_name
-    mgr = CheckpointManager(os.path.join(args.output_root, name, "checkpoints"))
-    curve = []
-    for step in mgr.all_steps():
-        restored = mgr.restore_raw(step)
-        variables = {
+    handoff_root = os.path.join(args.output_root, "handoff")
+
+    if args.resume_from_handoff:
+        # Stages 1/1b/1c already ran: reuse the latest RPN checkpoint (for
+        # the RCNN warm start), the committed recall curve, and the handoff
+        # files on disk.
+        mgr = CheckpointManager(
+            os.path.join(args.output_root, name, "checkpoints")
+        )
+        rpn_step = mgr.latest_step()
+        restored = mgr.restore_raw(rpn_step)
+        final_vars = {
             "params": restored["params"],
             "batch_stats": restored["batch_stats"],
         }
-        s = evaluator.run_checkpoint_once(variables, step)
-        curve.append(
-            [step, round(s["recall_50"], 4), round(s["recall_70"], 4),
-             round(s.get("avg_seg_acc", 0.0), 4)]
+        mgr.close()
+        curve = []
+        curve_path = os.path.join(gen_dir, "rpn_recall_curve.csv")
+        if os.path.exists(curve_path):
+            with open(curve_path) as f:
+                curve = [row for row in csv.reader(f)][1:]
+        print(f"[gen] resume: RPN step {rpn_step}, handoff at {handoff_root}",
+              flush=True)
+    else:
+        # ------------- stage 1: RPN training on the train split ---------- #
+        ds = common.build_dataset(rpn_cfg, "train", args.train_split)
+        ds.seed(args.seed)
+        model, loss_fn = common.build_model(rpn_cfg, ds, "train")
+        next_batch = common.make_batch_fn(
+            rpn_cfg, ds, "rpn", rpn_cfg.train_config.batch_size
         )
-        print(f"[gen] RPN step {step}: val recall@0.5={s['recall_50']:.3f} "
-              f"@0.7={s['recall_70']:.3f}", flush=True)
-    _write_csv(
-        os.path.join(gen_dir, "rpn_recall_curve.csv"),
-        ["step", "recall_50", "recall_70", "seg_acc"], curve,
-    )
+        state = train(
+            model=model, loss_fn=loss_fn, make_train_step=make_rpn_train_step,
+            init_batch=next_batch(), next_batch=next_batch,
+            pipeline_cfg=rpn_cfg, output_root=args.output_root,
+            seed=args.seed,
+        )
+        rpn_step = int(state.step)
+        del state
+        print(f"[gen] RPN trained to step {rpn_step}", flush=True)
 
-    # ------------- stage 1c: handoff from the final RPN ------------------ #
-    hand_cfg = _apply_ds(_val_mode_cfg(args.rpn_config, args.dataset_dir, train_nms=True))
-    final_vars = {
-        "params": mgr.restore_raw(rpn_step)["params"],
-        "batch_stats": mgr.restore_raw(rpn_step)["batch_stats"],
-    }
-    mgr.close()
-    # Handoff gets its own root: the recall sweep above already wrote this
-    # step's proposal files under args.output_root, and the evaluator's
-    # sample-level resume would otherwise skip every sample (leaving the
-    # rpn_feature npys the RCNN stage needs unwritten).
-    handoff_root = os.path.join(args.output_root, "handoff")
-    for split in dict.fromkeys([args.train_split, args.eval_split]):
-        hds = common.build_dataset(hand_cfg, "val", split)
-        hmodel, _ = common.build_model(hand_cfg, hds, "val", save_rpn_feature=True)
-        hev = RpnEvaluator(
-            hmodel, hds, hand_cfg, handoff_root, save_rpn_feature=True,
+        # ------------- stage 1b: recall curve on the VAL split ----------- #
+        eval_cfg = _apply_ds(_val_mode_cfg(args.rpn_config, args.dataset_dir))
+        eds = common.build_dataset(eval_cfg, "val", args.eval_split)
+        vmodel, _ = common.build_model(eval_cfg, eds, "val")
+        evaluator = RpnEvaluator(
+            vmodel, eds, eval_cfg, args.output_root,
             eval_batch_size=args.eval_batch_size,
         )
-        s = hev.run_checkpoint_once(final_vars, rpn_step)
-        print(f"[gen] handoff {split}: recall@0.5={s['recall_50']:.3f}", flush=True)
+        mgr = CheckpointManager(
+            os.path.join(args.output_root, name, "checkpoints")
+        )
+        curve = []
+        for step in mgr.all_steps():
+            restored = mgr.restore_raw(step)
+            variables = {
+                "params": restored["params"],
+                "batch_stats": restored["batch_stats"],
+            }
+            s = evaluator.run_checkpoint_once(variables, step)
+            curve.append(
+                [step, round(s["recall_50"], 4), round(s["recall_70"], 4),
+                 round(s.get("avg_seg_acc", 0.0), 4)]
+            )
+            print(f"[gen] RPN step {step}: val recall@0.5={s['recall_50']:.3f} "
+                  f"@0.7={s['recall_70']:.3f}", flush=True)
+        _write_csv(
+            os.path.join(gen_dir, "rpn_recall_curve.csv"),
+            ["step", "recall_50", "recall_70", "seg_acc"], curve,
+        )
+
+        # ------------- stage 1c: handoff from the final RPN -------------- #
+        hand_cfg = _apply_ds(
+            _val_mode_cfg(args.rpn_config, args.dataset_dir, train_nms=True)
+        )
+        final_vars = {
+            "params": mgr.restore_raw(rpn_step)["params"],
+            "batch_stats": mgr.restore_raw(rpn_step)["batch_stats"],
+        }
+        mgr.close()
+        # Handoff gets its own root: the recall sweep above already wrote
+        # this step's proposal files under args.output_root, and the
+        # evaluator's sample-level resume would otherwise skip every sample
+        # (leaving the rpn_feature npys the RCNN stage needs unwritten).
+        for split in dict.fromkeys([args.train_split, args.eval_split]):
+            hds = common.build_dataset(hand_cfg, "val", split)
+            hmodel, _ = common.build_model(
+                hand_cfg, hds, "val", save_rpn_feature=True
+            )
+            hev = RpnEvaluator(
+                hmodel, hds, hand_cfg, handoff_root, save_rpn_feature=True,
+                eval_batch_size=args.eval_batch_size,
+            )
+            s = hev.run_checkpoint_once(final_vars, rpn_step)
+            print(f"[gen] handoff {split}: recall@0.5={s['recall_50']:.3f}",
+                  flush=True)
     pred_base = os.path.join(handoff_root, name, "predictions")
 
     def handoff_dirs(split):
