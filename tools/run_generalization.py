@@ -235,7 +235,7 @@ def main():
     # -------------- stage 2b: AP curve on the VAL split ------------------ #
     rv_cfg = _apply_ds(_val_mode_cfg(args.rcnn_config, args.dataset_dir))
 
-    def eval_split_ckpts(split, steps):
+    def eval_split_ckpts(split, steps, curve_path=None):
         vds = common.build_dataset(rv_cfg, "val", split)
         for attr, path in handoff_dirs(split).items():
             setattr(vds, attr, path)
@@ -261,15 +261,23 @@ def main():
             out.append((row, ap))
             print(f"[gen] RCNN step {step} [{split}]: car3D-mod={row[1]} "
                   f"ped3D-mod={row[2]} cyc3D-mod={row[3]}", flush=True)
+            if curve_path:
+                # Rewrite the curve after EVERY checkpoint so a crash or a
+                # wall-clock kill cannot lose the whole sweep (round-5
+                # lesson: the 10k run's artifacts died with the process).
+                _write_csv(
+                    curve_path,
+                    ["step", "car_3d_moderate", "ped_3d_moderate",
+                     "cyc_3d_moderate"],
+                    [r for r, _ in out],
+                )
         return out
 
     rname = rcnn_cfg.model_config.checkpoint_name
     rmgr = CheckpointManager(os.path.join(args.output_root, rname, "checkpoints"))
-    val_curve = eval_split_ckpts(args.eval_split, list(rmgr.all_steps()))
-    _write_csv(
-        os.path.join(gen_dir, "rcnn_ap_curve.csv"),
-        ["step", "car_3d_moderate", "ped_3d_moderate", "cyc_3d_moderate"],
-        [r for r, _ in val_curve],
+    val_curve = eval_split_ckpts(
+        args.eval_split, list(rmgr.all_steps()),
+        curve_path=os.path.join(gen_dir, "rcnn_ap_curve.csv"),
     )
 
     # Final-step train-split AP: quantifies the train-vs-val gap.
