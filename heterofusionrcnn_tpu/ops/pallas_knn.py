@@ -28,6 +28,7 @@ parity with the reference's CUDA KNN, grouping/tf_grouping_g.cu knn).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,23 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 3.4e38
 # f32 safety margin for the bbox lower bound vs kernel-computed distances.
 _LB_SAFETY = 1.0 - 4e-6
+
+# Fold formulation for the sorted kernel (A/B'd in tools/microbench_knn.py):
+#   legacy  — k unrolled extract-min rounds per folding tile (round-2 form).
+#   counted — the improving-candidate count is computed ONCE per folding
+#             tile (vector compare + sum + lane max -> one scalar) and each
+#             round is predicated on `round < cnt`. Most folding tiles on
+#             KITTI-like clouds contribute 1-3 new neighbors, so the average
+#             tile runs ~2-3 of its k rounds. Differs from the round-3
+#             negative result (STATUS.md), which re-derived a vector->scalar
+#             "did anything improve" flag EVERY round and lost the saving to
+#             scalar-pipeline round-trips; here the gate scalar exists before
+#             round 0 and each @pl.when is a scalar-vs-scalar compare.
+#   none    — distance passes only, ids INVALID (microbench-only: isolates
+#             the fold cost to bound what any fold rewrite could recover).
+# Default stays "legacy" until the counted mode passes the on-chip gate
+# (tools/check_kernels.py + bench.py on real hardware, CLAUDE.md).
+_FOLD_MODE = os.environ.get("HFR_KNN_FOLD", "legacy")
 
 
 def _knn_kernel_t(q_ref, px_ref, out_d_ref, out_i_ref, *, k, n_total,
@@ -130,8 +148,8 @@ def _zigzag_tile(j, center, num_tiles):
 
 
 def _knn_sorted_kernel_t(q_ref, px_ref, oidx_ref, boxes_ref, out_d_ref,
-                         out_i_ref, bd_ref, bi_ref, *, k, num_tiles,
-                         tile_q, tile_n, qt_per_b, k_pad):
+                         out_i_ref, bd_ref, bi_ref, *scratch, k, num_tiles,
+                         tile_q, tile_n, qt_per_b, k_pad, fold_mode):
     """One program: TILE_Q Morton-sorted queries (on LANES) vs all candidate
     tiles of their batch element (candidates on SUBLANES), visited outward
     from the query tile's own spatial region with bbox skipping.
@@ -200,13 +218,61 @@ def _knn_sorted_kernel_t(q_ref, px_ref, oidx_ref, boxes_ref, out_d_ref,
 
             @pl.when(improvable)
             def _():
-                slots = tuple(
-                    bd_ref[s : s + 1, :] for s in range(k)
-                ) + tuple(bi_ref[s : s + 1, :] for s in range(k))
-                slots = _fold_tile_t(slots, d, oid, k)
-                for s in range(k):
-                    bd_ref[s : s + 1, :] = slots[s]
-                    bi_ref[s : s + 1, :] = slots[k + s]
+                if fold_mode == "none":
+                    # Microbench-only: keep the distance dataflow live but
+                    # skip selection entirely. IDs stay INVALID.
+                    bd_ref[0:1, :] = jnp.minimum(bd_ref[0:1, :], col_min)
+                elif fold_mode == "legacy":
+                    slots = tuple(
+                        bd_ref[s : s + 1, :] for s in range(k)
+                    ) + tuple(bi_ref[s : s + 1, :] for s in range(k))
+                    slots = _fold_tile_t(slots, d, oid, k)
+                    for s in range(k):
+                        bd_ref[s : s + 1, :] = slots[s]
+                        bi_ref[s : s + 1, :] = slots[k + s]
+                else:  # counted
+                    # Rounds needed = max over queries of how many of this
+                    # tile's candidates can enter that query's top-k (an
+                    # upper bound: entering candidates only tighten the
+                    # worst). <= keeps the equal-distance-lower-id case.
+                    per_lane = jnp.sum(
+                        (d <= bd_ref[k - 1 : k, :]).astype(jnp.int32),
+                        axis=0,
+                        keepdims=True,
+                    )  # (1, TQ)
+                    cnt = jnp.minimum(jnp.max(per_lane), k)
+                    dm_ref = scratch[0]
+                    dm_ref[:, :] = d
+                    for r in range(k):
+
+                        @pl.when(r < cnt)
+                        def _(r=r):
+                            dm = dm_ref[:, :]
+                            tmin = jnp.min(dm, axis=0, keepdims=True)
+                            bigi = jnp.where(
+                                dm == tmin, oid, jnp.int32(2**30)
+                            )
+                            targ = jnp.min(bigi, axis=0, keepdims=True)
+                            dm_ref[:, :] = jnp.where(bigi == targ, _BIG, dm)
+                            kd = bd_ref[k - 1 : k, :]
+                            ki = bi_ref[k - 1 : k, :]
+                            take = (tmin < kd) | ((tmin == kd) & (targ < ki))
+                            cur_d = jnp.where(take, tmin, kd)
+                            cur_i = jnp.where(take, targ, ki)
+                            for slot in range(k):
+                                sd = bd_ref[slot : slot + 1, :]
+                                si = bi_ref[slot : slot + 1, :]
+                                swap = (cur_d < sd) | (
+                                    (cur_d == sd) & (cur_i < si)
+                                )
+                                bd_ref[slot : slot + 1, :] = jnp.where(
+                                    swap, cur_d, sd
+                                )
+                                bi_ref[slot : slot + 1, :] = jnp.where(
+                                    swap, cur_i, si
+                                )
+                                cur_d = jnp.where(swap, sd, cur_d)
+                                cur_i = jnp.where(swap, si, cur_i)
 
         return 0
 
@@ -281,7 +347,7 @@ _SORTED_TILE_Q = 128
 _SORTED_MIN_N = 4096  # below this the brute-force scan wins (sort overhead)
 
 
-def _knn_pallas_sorted(k, xyz, new_xyz, same_set):
+def _knn_pallas_sorted(k, xyz, new_xyz, same_set, interpret=False):
     """Morton-sort + tile-skipping kernel. Exact (== top_k on the original
     order). Requires N % 2048 == 0 and P % 128 == 0."""
     b, n, _ = xyz.shape
@@ -318,6 +384,7 @@ def _knn_pallas_sorted(k, xyz, new_xyz, same_set):
         tile_n=tile_n,
         qt_per_b=p // tile_q,
         k_pad=k_pad,
+        fold_mode=_FOLD_MODE,
     )
 
     # Flat grid over all (batch, query-tile) pairs — one pallas_call for the
@@ -368,13 +435,23 @@ def _knn_pallas_sorted(k, xyz, new_xyz, same_set):
         scratch_shapes=[
             pltpu.VMEM((k_pad, tile_q), jnp.float32),
             pltpu.VMEM((k_pad, tile_q), jnp.int32),
-        ],
+        ]
+        + (
+            # Counted-fold working copy of the distance block (the rounds
+            # destructively mask it); 512 KB at the production tile. Only
+            # allocated for that mode so the legacy compile stays
+            # bit-identical to the already-gated kernel.
+            [pltpu.VMEM((tile_n, tile_q), jnp.float32)]
+            if _FOLD_MODE == "counted"
+            else []
+        ),
         # The (1, T, TN, 3)/(1, T, TN, 1) candidate blocks pad their minor
         # dim to 128 lanes in VMEM (~16 MB at N=16384), just over the 16 MB
         # default scoped-VMEM budget. v5e has 128 MB of VMEM; raise the cap.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
+        interpret=interpret,
     )(q_t, tiles, oidx, boxes)
     d = jnp.swapaxes(d[:, :k], 1, 2)  # (B, P, k)
     i = jnp.swapaxes(i[:, :k], 1, 2)

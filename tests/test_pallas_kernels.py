@@ -103,3 +103,46 @@ def test_dispatch_cpu_fallback():
     assert idx.shape == (1, 16)
     d, i = knn_point(4, xyz, xyz[:, :256])
     assert i.shape == (1, 256, 4)
+
+
+@pytest.mark.parametrize("fold_mode", ["legacy", "counted"])
+@pytest.mark.parametrize("same_set", [False, True])
+def test_sorted_knn_fold_modes_exact(fold_mode, same_set):
+    """Both fold formulations of the sorted tile-skipping kernel are exact
+    against the stable-argsort oracle (incl. duplicate-point ties, which the
+    counted mode's <= gate must keep). Small tiles so interpret mode on CPU
+    stays fast; on TPU the production shapes run in tools/check_kernels.py."""
+    from heterofusionrcnn_tpu.ops import pallas_knn as pk
+
+    saved = (pk._FOLD_MODE, pk._SORTED_TILE_N, pk._SORTED_TILE_Q,
+             pk._SORTED_MIN_N)
+    try:
+        pk._FOLD_MODE = fold_mode
+        pk._SORTED_TILE_N = 128
+        pk._SORTED_TILE_Q = 128
+        pk._SORTED_MIN_N = 256
+        rng = np.random.default_rng(7)
+        b, n, p, k = 2, 512, 128, 8
+        xyz = rng.uniform(-20, 20, (b, n, 3)).astype(np.float32)
+        # Force exact-distance ties: duplicate a block of points.
+        xyz[:, 300:332] = xyz[:, 100:132]
+        xyz = jnp.asarray(xyz)
+        q = xyz if same_set else xyz[:, 5 : 5 + p]
+        d, i = pk._knn_pallas_sorted(
+            k, xyz, q, same_set=same_set, interpret=True
+        )
+        for bb in range(b):
+            full = np.sum(
+                (np.asarray(q)[bb][:, None] - np.asarray(xyz)[bb][None]) ** 2,
+                axis=-1,
+            )
+            order = np.argsort(full, axis=1, kind="stable")[:, :k]
+            np.testing.assert_array_equal(np.asarray(i)[bb], order)
+            np.testing.assert_allclose(
+                np.asarray(d)[bb],
+                np.take_along_axis(full, order, 1),
+                rtol=1e-4, atol=1e-3,
+            )
+    finally:
+        (pk._FOLD_MODE, pk._SORTED_TILE_N, pk._SORTED_TILE_Q,
+         pk._SORTED_MIN_N) = saved

@@ -4,14 +4,23 @@ print the top ops by device time.
 The perf ledger (tools/flops_ledger.py) is built from the XLA cost model and
 microbenches; this tool is the ground truth that confirms or refutes it:
 one jax.profiler trace of the exact graph bench.py measures, aggregated per
-HLO op/fusion from the xplane device plane (parsed with
+HLO op from the xplane 'XLA Ops' device line (parsed with
 jax.profiler.ProfileData — no tensorboard needed).
+
+Only the 'XLA Ops' line is a non-overlapping op timeline; 'XLA Modules'
+carries one whole-graph event per call and 'Async XLA Ops' carries DMA
+events whose durations span their wait windows — summing across lines
+double-counts (the first version of this tool did, burying the signal
+under copy-start events).
 
 Usage (on the real chip):
     python tools/capture_trace.py [--iters 8] [--top 25] [--stage fused]
+    python tools/capture_trace.py --xplane <file.xplane.pb>   # re-aggregate
 
-Writes the raw trace under outputs/traces/<stage>/ and prints an aggregated
-table; paste the table into STATUS.md next to the ledger it validates.
+Writes the raw trace under outputs/traces/<stage>/ and prints (a) per-op
+aggregation (instance names collapsed to their HLO op) and (b) a
+shape-family rollup attributing time to pipeline stages; paste both into
+STATUS.md next to the ledger they validate.
 """
 
 from __future__ import annotations
@@ -19,24 +28,92 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import re
 import sys
 import time
 from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Ops reported individually even inside the family rollup.
+_MOVE_OPS = {
+    "copy", "reshape", "dynamic-update-slice", "dynamic-slice", "sort",
+    "while", "knn_pallas", "farthest_point_sample_pallas",
+    "oriented_nms_pallas",
+}
 
-def _device_plane_events(profile_data):
-    """Yield (plane_name, event) for TPU/device planes only."""
+
+def _xla_ops_events(profile_data):
     for plane in profile_data.planes:
-        name = plane.name or ""
-        if "TPU" not in name and "device" not in name.lower():
-            continue
-        if "Host" in name:
+        if "TPU" not in (plane.name or ""):
             continue
         for line in plane.lines:
-            for ev in line.events:
-                yield name, ev
+            if line.name == "XLA Ops":
+                for ev in line.events:
+                    yield ev
+
+
+def _op_key(name):
+    m = re.match(r"%([A-Za-z0-9_\-]+?)(?:\.\d+)? =", name)
+    return m.group(1) if m else name[:40]
+
+
+def _shape_family(name):
+    """Coarse attribution of an HLO result shape to a pipeline stage."""
+    m = re.search(r"= [a-z0-9]+\[([0-9,]*)\]", name)
+    if not m:
+        return "other"
+    dims = m.group(1).split(",")
+    if any(d in ("1200", "600", "300", "360", "180") for d in dims):
+        return "image"
+    if "524288" in dims:
+        return "pts16k-nbr"  # (B*16384*k) flattened neighbor gathers
+    if "16384" in dims:
+        return "pts16k"
+    if "4096" in dims:
+        return "pts4k"
+    if dims[0] == "400" or "204800" in dims:
+        return "roi"
+    return "other"
+
+
+def aggregate(xplane, iters, top):
+    import jax
+
+    pd = jax.profiler.ProfileData.from_file(xplane)
+    evs = list(_xla_ops_events(pd))
+    if not evs:
+        raise SystemExit("no 'XLA Ops' line on a TPU plane — planes: "
+                         f"{[p.name for p in pd.planes]}")
+
+    by_op = defaultdict(lambda: [0.0, 0])
+    by_fam = defaultdict(lambda: defaultdict(float))
+    total = 0.0
+    for ev in evs:
+        ms = ev.duration_ns / 1e6
+        key = _op_key(ev.name)
+        by_op[key][0] += ms
+        by_op[key][1] += 1
+        fam = _shape_family(ev.name)
+        by_fam[fam][key if key in _MOVE_OPS else "compute"] += ms
+        total += ms
+
+    print(f"\ntotal 'XLA Ops' device time {total:.2f} ms over {iters} iters "
+          f"(~{total / iters:.2f} ms/iter)")
+    print(f"{'ms/iter':>9s} {'%':>6s} {'calls':>6s}  op")
+    for name, (ms, c) in sorted(by_op.items(), key=lambda kv: -kv[1][0])[:top]:
+        print(f"{ms / iters:9.3f} {100 * ms / total:6.2f} "
+              f"{c // max(iters, 1):6d}  {name[:90]}")
+
+    print("\nshape-family rollup (ms/iter):")
+    fams = sorted(by_fam.items(), key=lambda kv: -sum(kv[1].values()))
+    for fam, ops in fams:
+        ftot = sum(ops.values())
+        detail = ", ".join(
+            f"{k} {v / iters:.2f}"
+            for k, v in sorted(ops.items(), key=lambda kv: -kv[1])[:4]
+        )
+        print(f"{ftot / iters:9.3f}  {fam:12s} ({detail})")
 
 
 def main():
@@ -46,7 +123,14 @@ def main():
     ap.add_argument("--stage", default="fused",
                     choices=["fused", "rpn_stage", "rcnn_stage"])
     ap.add_argument("--logdir", default=None)
+    ap.add_argument("--xplane", default=None,
+                    help="re-aggregate an existing .xplane.pb (no capture; "
+                         "works off-TPU)")
     args = ap.parse_args()
+
+    if args.xplane:
+        aggregate(args.xplane, args.iters, args.top)
+        return
 
     import jax
     import numpy as np
@@ -95,32 +179,7 @@ def main():
                          "platform may not export device traces")
     xplane = paths[-1]
     print(f"trace: {xplane}", flush=True)
-
-    pd = jax.profiler.ProfileData.from_file(xplane)
-    plane_names = [p.name for p in pd.planes]
-    print(f"planes: {plane_names}", flush=True)
-
-    by_op = defaultdict(float)
-    counts = defaultdict(int)
-    total = 0.0
-    for _, ev in _device_plane_events(pd):
-        ms = ev.duration_ns / 1e6
-        by_op[ev.name] += ms
-        counts[ev.name] += 1
-        total += ms
-
-    if not by_op:
-        raise SystemExit("device planes contained no events — see plane "
-                         "list above (host-only trace?)")
-
-    per_iter = total / max(args.iters, 1)
-    print(f"\ntotal device time {total:.2f} ms over {args.iters} iters "
-          f"(~{per_iter:.2f} ms/iter, may double-count overlapping lines)")
-    print(f"{'ms/iter':>9s} {'%':>6s} {'calls':>6s}  op")
-    items = sorted(by_op.items(), key=lambda kv: -kv[1])
-    for name, ms in items[: args.top]:
-        print(f"{ms / args.iters:9.3f} {100 * ms / total:6.2f} "
-              f"{counts[name] // max(args.iters, 1):6d}  {name[:110]}")
+    aggregate(xplane, args.iters, args.top)
 
 
 if __name__ == "__main__":
