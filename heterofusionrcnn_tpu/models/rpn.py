@@ -203,11 +203,14 @@ class RpnModel(nn.Module):
             proj = proj / ds
         u = jnp.clip(proj[..., 0].astype(jnp.int32), 0, W - 1)
         v = jnp.clip(proj[..., 1].astype(jnp.int32), 0, H - 1)
-        # Flat row gather (leading-axis gathers lower much better on TPU
-        # than multi-axis indexing).
-        flat = img_fts.reshape(B * H * W, -1)
-        rows = (jnp.arange(B)[:, None] * (H * W) + v * W + u).reshape(-1)
-        proj_img_fts = flat[rows].reshape(B, P, -1)  # (B, P, C1)
+        # Per-batch 2-D gather. The earlier flat row gather made XLA
+        # relayout the whole 105 MB map channels-first first (a 3.5 ms
+        # chunked while loop in the round-5 fused-graph trace); gathering
+        # from the NHWC map per batch element skips the relayout — 2.8 vs
+        # 6.2 ms at production shape (tools/microbench_imggather.py, v5e).
+        proj_img_fts = jax.vmap(lambda im, vv, uu: im[vv, uu])(
+            img_fts, v, u
+        )  # (B, P, C1)
 
         # ---------------- segmentation head ---------------- #
         seg_logits = DenseBN(
