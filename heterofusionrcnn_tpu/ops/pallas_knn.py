@@ -43,17 +43,20 @@ _LB_SAFETY = 1.0 - 4e-6
 #   legacy  — k unrolled extract-min rounds per folding tile (round-2 form).
 #   counted — the improving-candidate count is computed ONCE per folding
 #             tile (vector compare + sum + lane max -> one scalar) and each
-#             round is predicated on `round < cnt`. Most folding tiles on
-#             KITTI-like clouds contribute 1-3 new neighbors, so the average
-#             tile runs ~2-3 of its k rounds. Differs from the round-3
-#             negative result (STATUS.md), which re-derived a vector->scalar
-#             "did anything improve" flag EVERY round and lost the saving to
-#             scalar-pipeline round-trips; here the gate scalar exists before
-#             round 0 and each @pl.when is a scalar-vs-scalar compare.
+#             round is predicated on `round < cnt`.
 #   none    — distance passes only, ids INVALID (microbench-only: isolates
-#             the fold cost to bound what any fold rewrite could recover).
-# Default stays "legacy" until the counted mode passes the on-chip gate
-# (tools/check_kernels.py + bench.py on real hardware, CLAUDE.md).
+#             the fold cost to bound what any fold rewrite could recover;
+#             NOTE it also freezes the k-th-best row at _BIG, so bbox
+#             skipping is disabled — on the same-set shape `none` measures
+#             the UNSKIPPED distance floor).
+# Round-5 on-chip verdict (v5e, batch 4, tile 1024x128): counted LOSES at
+# every production shape — 16384^2 12.13 (legacy) vs 13.37 (counted),
+# 16384q/4096 8.11 vs 8.99, 4096q/16384 6.44 vs 7.13 — same failure mode as
+# round 3's per-round flag: predication round-trips cost more than the
+# skipped VPU rounds. `none` bounds any fold rewrite: 16384q/4096 fold cost
+# = 8.11 - 6.74 = 1.4 ms; same-set unskipped distance floor alone is
+# 13.15 ms. The fold is NOT the dominant cost; legacy stays the default and
+# counted remains only as the documented negative result.
 _FOLD_MODE = os.environ.get("HFR_KNN_FOLD", "legacy")
 
 

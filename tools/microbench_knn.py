@@ -87,19 +87,22 @@ def main():
                   flush=True)
 
     if args.tiles:
-        print("\ntile sweep (counted):")
-        for tile_n in (512, 1024, 2048):
+        # Sweep the WINNING mode (legacy, per the round-5 on-chip A/B —
+        # counted lost at every shape). Finer candidate tiles buy skip
+        # granularity on the same-set shape at the cost of more bbox tests.
+        print("\ntile sweep (legacy):")
+        for tile_n in (256, 512, 1024, 2048):
             for tile_q in (128, 256):
                 for name, cand, qrs, same in shapes:
                     if cand.shape[1] % tile_n or qrs.shape[1] % tile_q:
                         continue
                     try:
-                        ms, _ = run("counted", tile_n, tile_q, cand, qrs, same)
+                        ms, _ = run("legacy", tile_n, tile_q, cand, qrs, same)
                     except Exception as e:  # noqa: BLE001
-                        print(f"{name:20s} counted  {tile_n:6d} {tile_q:6d}"
+                        print(f"{name:20s} legacy   {tile_n:6d} {tile_q:6d}"
                               f"   FAIL {e}")
                         continue
-                    print(f"{name:20s} counted  {tile_n:6d} {tile_q:6d} "
+                    print(f"{name:20s} legacy   {tile_n:6d} {tile_q:6d} "
                           f"{ms:8.2f}", flush=True)
 
 
