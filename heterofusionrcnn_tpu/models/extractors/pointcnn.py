@@ -45,6 +45,13 @@ from heterofusionrcnn_tpu.ops.sampling import (
 )
 
 
+# Narrow prev-features (<=5 channels) at flat-row-gather scale (N > 1024)
+# ride the coords gather as one packed row (see XConv.__call__). Module
+# switch so tests can A/B the packed path against the separate-gather
+# oracle (and as a kill switch — the paths are value-identical).
+_PACK_NARROW_FTS = True
+
+
 def _fused_xconv_mode(
     training: bool, p: int, k: int, cf: int, cp: int, d_out: int,
     elem: int = 2,
@@ -103,7 +110,32 @@ class XConv(nn.Module):
         if self.sorting_method:
             idx = sort_neighbor_indices(pts, idx, self.sorting_method)
 
-        nn_pts = group_point(pts, idx)  # (B, P, K, 3)
+        # Narrow prev-features (the RPN's 1-channel intensity at layer 1)
+        # ride the coords gather: a standalone (B, P, K, 1) flat-row gather
+        # lowers to a latency-bound scalar gather (3.67 ms/iter in the
+        # round-5 fused-graph trace vs 0.95 ms for the 3-wide coords);
+        # packing [pts, fts] into one 4-wide gather returns the identical
+        # rows for ~the coords gather's cost. Only for the flat-row regime
+        # (N > 1024 — below that group_point dispatches to the one-hot
+        # contraction, and the fused kernel's in-kernel gather takes over).
+        pack_fts = (
+            _PACK_NARROW_FTS
+            and fts is not None
+            and fts.shape[-1] <= 5
+            and pts.shape[1] > 1024
+            # The ride through pts.dtype must be value-exact (f32 coords
+            # carrying f32/bf16 features round-trip; the reverse would not).
+            and jnp.promote_types(pts.dtype, fts.dtype) == pts.dtype
+        )
+        if pack_fts:
+            packed = group_point(
+                jnp.concatenate([pts, fts.astype(pts.dtype)], axis=-1), idx
+            )  # (B, P, K, 3 + Cp)
+            nn_pts = packed[..., :3]
+            nn_fts_packed = packed[..., 3:].astype(fts.dtype)
+        else:
+            nn_pts = group_point(pts, idx)  # (B, P, K, 3)
+            nn_fts_packed = None
         nn_pts_local = nn_pts - qrs[:, :, None, :]
 
         mode = _fused_xconv_mode(
@@ -116,7 +148,10 @@ class XConv(nn.Module):
             elem=jnp.dtype(self.dtype or jnp.float32).itemsize,
         )
         if mode:
-            return self._fused(pts, fts, qrs, idx, nn_pts_local, mode, training)
+            return self._fused(
+                pts, fts, qrs, idx, nn_pts_local, mode, training,
+                nn_fts_packed=nn_fts_packed,
+            )
 
         # 2) lift points into feature space.
         f_delta = DenseBN(self.C_pts_fts, dtype=self.dtype, name="nn_fts_from_pts_0")(
@@ -129,7 +164,11 @@ class XConv(nn.Module):
         if fts is None:
             nn_fts_input = f_delta
         else:
-            nn_fts_prev = group_point(fts, idx)
+            nn_fts_prev = (
+                nn_fts_packed
+                if nn_fts_packed is not None
+                else group_point(fts, idx)
+            )
             nn_fts_input = jnp.concatenate([f_delta, nn_fts_prev], axis=-1)
 
         if self.with_X_transformation:
@@ -161,7 +200,8 @@ class XConv(nn.Module):
             return jnp.concatenate([g, out], axis=-1)
         return out
 
-    def _fused(self, pts, fts, qrs, idx, nn_pts_local, mode, training):
+    def _fused(self, pts, fts, qrs, idx, nn_pts_local, mode, training,
+               nn_fts_packed=None):
         """Inference path through the fused Pallas XConv kernel
         (ops/pallas_xconv.py): the lift -> X-transform -> separable-conv
         chain runs in VMEM instead of materializing (B, P, K, C)
@@ -261,6 +301,13 @@ class XConv(nn.Module):
         if in_kernel_gather:
             fused_kwargs = dict(fts_src=fts.astype(cd), nn_idx=idx)
             nn_fts_t = None
+        elif nn_fts_packed is not None:
+            # Narrow fts already gathered alongside the coords (one packed
+            # 4-wide flat-row gather in __call__); the kernel wants the
+            # transposed (B, K, P, Cp) layout — transposing the 1-channel
+            # slice is far cheaper than a second scalar gather.
+            fused_kwargs = {}
+            nn_fts_t = jnp.swapaxes(nn_fts_packed, 1, 2)
         else:
             fused_kwargs = {}
             nn_fts_t = (

@@ -77,9 +77,31 @@ def pc_crop_and_sample(
     idx = jnp.take_along_axis(idx, wrapped, axis=1)  # (Nb, R)
 
     # Flat global row gathers: avoids materializing per-box copies of the
-    # full feature tensor.
+    # full feature tensor. The three narrow outputs (coords 3, intensity 1,
+    # mask 1) ride ONE 5-wide gather: standalone 1-wide gathers lower to
+    # latency-bound scalar gathers (~1.4-1.6 ms each at (400,512) in the
+    # round-5 fused-graph trace vs ~1.1 ms for the packed row).
     rows = (box_ind[:, None] * n + idx).reshape(-1)  # (Nb*R,)
-    crop_pts = pts.reshape(b * n, 3)[rows].reshape(nb, resize, 3)
+    pack_ok = (
+        jnp.promote_types(pts.dtype, intensities.dtype) == pts.dtype
+        and jnp.promote_types(pts.dtype, mask.dtype) == pts.dtype
+    )
+    if pack_ok:
+        narrow = jnp.concatenate(
+            [
+                pts,
+                intensities.astype(pts.dtype),
+                mask.astype(pts.dtype)[..., None],
+            ],
+            axis=-1,
+        ).reshape(b * n, 5)[rows].reshape(nb, resize, 5)
+        crop_pts = narrow[..., :3]
+        crop_int = narrow[..., 3:4].astype(intensities.dtype)
+        crop_mask = narrow[..., 4].astype(mask.dtype)
+    else:
+        crop_pts = pts.reshape(b * n, 3)[rows].reshape(nb, resize, 3)
+        crop_int = intensities.reshape(b * n, 1)[rows].reshape(nb, resize, 1)
+        crop_mask = mask.reshape(b * n)[rows].reshape(nb, resize)
     c = fts.shape[-1]
     if (
         os.environ.get("HFR_PALLAS_CROP") == "1"
@@ -94,7 +116,4 @@ def pc_crop_and_sample(
         crop_fts = crop_gather(fts, idx, box_ind)
     else:
         crop_fts = fts.reshape(b * n, c)[rows].reshape(nb, resize, c)
-    crop_int = intensities.reshape(b * n, 1)[rows].reshape(nb, resize, 1)
-    crop_mask = mask.reshape(b * n)[rows].reshape(nb, resize)
-
     return crop_pts, crop_fts, crop_int, crop_mask, idx, cnt > 0

@@ -250,3 +250,46 @@ def test_preprocess_image_zero_centers():
     img = jnp.full((1, 8, 8, 3), 95.0)
     out = np.asarray(preprocess_image(img))
     assert np.abs(out).max() < 5.0
+
+
+def test_xconv_packed_narrow_fts_matches_separate_gathers():
+    """The packed [pts|fts] gather (N > 1024, narrow fts — the RPN layer-1
+    intensity case) must be value-identical to the separate-gather path it
+    replaces (round-5 trace: the standalone 1-wide neighbor gather was
+    latency-bound at 3.67 ms/iter)."""
+    from heterofusionrcnn_tpu.models.extractors import pointcnn as pcm
+
+    rng = np.random.default_rng(7)
+    pts = jnp.asarray(rng.normal(size=(2, 2048, 3)).astype(np.float32))
+    fts = jnp.asarray(rng.normal(size=(2, 2048, 1)).astype(np.float32))
+    qrs = pts[:, :512]
+    mod = XConv(K=4, D=1, C=16, C_pts_fts=8, depth_multiplier=2)
+    variables = mod.init(
+        {"params": jax.random.PRNGKey(0)}, pts, fts, qrs, training=False
+    )
+
+    assert pcm._PACK_NARROW_FTS
+    packed = mod.apply(variables, pts, fts, qrs, training=False)
+    try:
+        pcm._PACK_NARROW_FTS = False
+        separate = mod.apply(variables, pts, fts, qrs, training=False)
+    finally:
+        pcm._PACK_NARROW_FTS = True
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(separate))
+
+    # Training arm (non-fused XLA path) too.
+    packed_t = mod.apply(
+        variables, pts, fts, qrs, training=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )[0]
+    try:
+        pcm._PACK_NARROW_FTS = False
+        separate_t = mod.apply(
+            variables, pts, fts, qrs, training=True,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+            mutable=["batch_stats"],
+        )[0]
+    finally:
+        pcm._PACK_NARROW_FTS = True
+    np.testing.assert_array_equal(np.asarray(packed_t), np.asarray(separate_t))
