@@ -184,6 +184,17 @@ def device_memory_mb() -> float:
         return 0.0
 
 
+def _host_rss_mb() -> float:
+    """Host resident-set size in MB, read from /proc/self/statm (no psutil
+    dependency). Returns 0.0 on non-Linux hosts."""
+    try:
+        with open("/proc/self/statm") as f:
+            rss_pages = int(f.read().split()[1])
+        return rss_pages * (os.sysconf("SC_PAGE_SIZE") / 1e6)
+    except Exception:
+        return 0.0
+
+
 def setup_output_dirs(output_root: str, checkpoint_name: str):
     """<root>/<name>/{checkpoints,logs,predictions}
     (config_builder_util.py:78-92)."""
@@ -340,6 +351,11 @@ def train(
             host_metrics = dict(zip(names, map(float, vals)))
             host_metrics["steps_per_sec"] = log_every / max(dt, 1e-9)
             host_metrics["device_mem_mb"] = device_memory_mb()
+            # Host RSS: the round-5 10k-step run was OOM-killed at ~130 GB
+            # anon (13 MB/step growth) — keep the curve in every ledger so
+            # a leak is visible long before the kernel's kill.
+            rss_mb = _host_rss_mb()
+            host_metrics["host_rss_mb"] = rss_mb
             logger.log(step, host_metrics)
             logger.log_param_histograms(step, state.params)
             logger.log_input_summaries(step, host_batch)
@@ -347,6 +363,24 @@ def train(
                 f"step {step}/{max_iters} "
                 + " ".join(f"{k}={v:.4f}" for k, v in host_metrics.items())
             )
+            # Graceful restart point: when HFR_MAX_HOST_RSS_MB is set and the
+            # process outgrows it (the round-5 leak), checkpoint NOW and exit
+            # 75 (EX_TEMPFAIL) so an outer loop can relaunch — resume picks up
+            # at this exact step instead of losing up to checkpoint_interval
+            # steps to the kernel's OOM kill.
+            max_rss = float(os.environ.get("HFR_MAX_HOST_RSS_MB", "0") or 0)
+            if max_rss and rss_mb > max_rss:
+                ckpt.save(step, jax.device_get(state))
+                if prefetcher is not None:
+                    prefetcher.close()
+                logger.close()
+                ckpt.close()
+                print(
+                    f"host RSS {rss_mb:.0f} MB > {max_rss:.0f} MB limit — "
+                    f"checkpointed at step {step}, exiting 75 for relaunch",
+                    flush=True,
+                )
+                raise SystemExit(75)
 
         if step % tc.checkpoint_interval == 0 or step == max_iters:
             ckpt.save(step, jax.device_get(state))

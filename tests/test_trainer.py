@@ -143,6 +143,52 @@ def test_trainer_resumes(fake_setup):
     assert int(state.step) == 8
 
 
+def test_trainer_rss_limit_checkpoints_and_exits(fake_setup, monkeypatch):
+    """HFR_MAX_HOST_RSS_MB turns the round-5 host-memory leak into a graceful
+    restart: the trainer checkpoints at the CURRENT step and exits 75 so an
+    outer loop (tools/genrun_loop.sh) can relaunch and resume."""
+    cfg, next_batch, out_root = fake_setup
+    # 1 MB limit: any real process exceeds it at the first log step.
+    monkeypatch.setenv("HFR_MAX_HOST_RSS_MB", "1")
+    with pytest.raises(SystemExit) as exc:
+        train(
+            model=FakeClassifier(),
+            loss_fn=fake_loss,
+            make_train_step=make_fake_train_step,
+            init_batch=next_batch(),
+            next_batch=next_batch,
+            pipeline_cfg=cfg,
+            output_root=out_root,
+            num_devices=1,
+            prefetch=0,
+        )
+    assert exc.value.code == 75
+    # Checkpoint exists at step 1 (summary_interval=1 -> first log step).
+    mgr = CheckpointManager(os.path.join(out_root, "fake_test", "checkpoints"))
+    steps = mgr.all_steps()
+    mgr.close()
+    assert 1 in steps
+    # RSS made it into the metrics ledger.
+    metrics_path = os.path.join(out_root, "fake_test", "logs", "metrics.jsonl")
+    rows = [json.loads(l) for l in open(metrics_path)]
+    assert rows and rows[0]["host_rss_mb"] > 1.0
+
+    # Relaunch without the limit resumes from the saved step and completes.
+    monkeypatch.delenv("HFR_MAX_HOST_RSS_MB")
+    state = train(
+        model=FakeClassifier(),
+        loss_fn=fake_loss,
+        make_train_step=make_fake_train_step,
+        init_batch=next_batch(),
+        next_batch=next_batch,
+        pipeline_cfg=cfg,
+        output_root=out_root,
+        num_devices=1,
+        prefetch=0,
+    )
+    assert int(state.step) == cfg.train_config.max_iterations
+
+
 def test_metrics_logger_summary_toggles(tmp_path):
     """summary_histograms / summary_img_images / summary_pc_images wiring
     (reference trainer.py:58-60 + summary_utils.summaries_to_keep)."""

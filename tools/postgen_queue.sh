@@ -20,6 +20,8 @@ cd /root/repo
 timeout 1800 python tools/check_kernels.py
 echo "=== bench ==="
 timeout 3600 python bench.py
+echo "=== wrap-gather A/B ==="
+timeout 1200 python tools/microbench_wrapgather.py
 echo "=== knn tile sweep (legacy) ==="
 timeout 2400 python tools/microbench_knn.py --tiles
 echo "=== fresh trace ==="

@@ -43,6 +43,15 @@ def _write_csv(path, header, rows):
         w.writerows(rows)
 
 
+def _read_csv_rows(path):
+    """Data rows of an existing curve CSV (empty list if absent) — the
+    crash-resume ledger for the checkpoint sweeps."""
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [row for row in csv.reader(f)][1:]
+
+
 def _val_mode_cfg(name, dataset_dir, train_nms=False):
     cfg = common.resolve_config(name, dataset_dir)
     cfg.dataset_config.aug_list = []
@@ -152,8 +161,15 @@ def main():
         mgr = CheckpointManager(
             os.path.join(args.output_root, name, "checkpoints")
         )
-        curve = []
+        # Crash-resume (round-5 OOM lesson): steps already in the CSV are
+        # skipped, and the CSV is rewritten after every checkpoint so a kill
+        # mid-sweep loses at most one checkpoint's eval.
+        curve_path = os.path.join(gen_dir, "rpn_recall_curve.csv")
+        curve = _read_csv_rows(curve_path)
+        done_steps = {int(float(r[0])) for r in curve}
         for step in mgr.all_steps():
+            if step in done_steps:
+                continue
             restored = mgr.restore_raw(step)
             variables = {
                 "params": restored["params"],
@@ -164,12 +180,13 @@ def main():
                 [step, round(s["recall_50"], 4), round(s["recall_70"], 4),
                  round(s.get("avg_seg_acc", 0.0), 4)]
             )
+            curve.sort(key=lambda r: int(float(r[0])))
             print(f"[gen] RPN step {step}: val recall@0.5={s['recall_50']:.3f} "
                   f"@0.7={s['recall_70']:.3f}", flush=True)
-        _write_csv(
-            os.path.join(gen_dir, "rpn_recall_curve.csv"),
-            ["step", "recall_50", "recall_70", "seg_acc"], curve,
-        )
+            _write_csv(
+                curve_path,
+                ["step", "recall_50", "recall_70", "seg_acc"], curve,
+            )
 
         # ------------- stage 1c: handoff from the final RPN -------------- #
         hand_cfg = _apply_ds(
@@ -185,6 +202,14 @@ def main():
         # evaluator's sample-level resume would otherwise skip every sample
         # (leaving the rpn_feature npys the RCNN stage needs unwritten).
         for split in dict.fromkeys([args.train_split, args.eval_split]):
+            # Crash-resume: a finished split leaves a marker; the evaluator's
+            # own sample-level resume handles a split killed halfway.
+            marker = os.path.join(
+                handoff_root, f".done_{split}_{rpn_step}"
+            )
+            if os.path.exists(marker):
+                print(f"[gen] handoff {split}: done (marker)", flush=True)
+                continue
             hds = common.build_dataset(hand_cfg, "val", split)
             hmodel, _ = common.build_model(
                 hand_cfg, hds, "val", save_rpn_feature=True
@@ -194,6 +219,8 @@ def main():
                 eval_batch_size=args.eval_batch_size,
             )
             s = hev.run_checkpoint_once(final_vars, rpn_step)
+            with open(marker, "w") as f:
+                f.write("done\n")
             print(f"[gen] handoff {split}: recall@0.5={s['recall_50']:.3f}",
                   flush=True)
     pred_base = os.path.join(handoff_root, name, "predictions")
@@ -246,13 +273,26 @@ def main():
         )
         out = []
         for step in steps:
-            restored = rmgr.restore_raw(step)
-            variables = {
-                "params": restored["params"],
-                "batch_stats": restored["batch_stats"],
-            }
-            s = rev.run_checkpoint_once(variables, step, num_rois=args.num_rois)
-            ap = s.get("ap", {})
+            # Crash-resume: every evaluated step leaves a full-AP JSON
+            # ledger; on relaunch it is loaded instead of re-evaluated.
+            ap_ledger = os.path.join(
+                gen_dir, f"ap_{split}_{step}.json"
+            )
+            if os.path.exists(ap_ledger):
+                with open(ap_ledger) as f:
+                    ap = {k: tuple(v) for k, v in json.load(f).items()}
+            else:
+                restored = rmgr.restore_raw(step)
+                variables = {
+                    "params": restored["params"],
+                    "batch_stats": restored["batch_stats"],
+                }
+                s = rev.run_checkpoint_once(
+                    variables, step, num_rois=args.num_rois
+                )
+                ap = s.get("ap", {})
+                with open(ap_ledger, "w") as f:
+                    json.dump({k: list(v) for k, v in ap.items()}, f)
             row = [step] + [
                 round(ap.get(k, (0, 0, 0))[1], 2)
                 for k in ("car_detection_3d", "pedestrian_detection_3d",
