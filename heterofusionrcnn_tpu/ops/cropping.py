@@ -74,7 +74,20 @@ def pc_crop_and_sample(
     wrapped = jnp.where(
         cnt[:, None] > 0, slot % jnp.maximum(cnt[:, None], 1), 0
     )
-    idx = jnp.take_along_axis(idx, wrapped, axis=1)  # (Nb, R)
+    if resize <= 1024 and n < 2**24:
+        # Minor-axis take_along_axis lowers to a latency-bound scalar gather
+        # (2.09 ms/iter in the round-5 fused-graph trace at (400,512)); a
+        # one-hot MXU contraction is exact (idx < N < 2^24 in f32, one 1.0
+        # per row) and measured 2.22 vs 3.72 ms standalone on v5e
+        # (tools/microbench_wrapgather.py). O(R^2) work — gated to small R.
+        one_hot = (wrapped[:, :, None] == jnp.arange(resize, dtype=jnp.int32)
+                   ).astype(jnp.float32)  # (Nb, R, R)
+        idx = jnp.einsum(
+            "nrs,ns->nr", one_hot, idx.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
+    else:
+        idx = jnp.take_along_axis(idx, wrapped, axis=1)  # (Nb, R)
 
     # Flat global row gathers: avoids materializing per-box copies of the
     # full feature tensor. The three narrow outputs (coords 3, intensity 1,

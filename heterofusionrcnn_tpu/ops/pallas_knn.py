@@ -340,13 +340,16 @@ def supported_query_tile(p: int):
     return p if p <= 512 else None
 
 
-# Candidate/query tile sizes for the sorted kernel, re-swept after the
-# fold-guard change (tools/sweep_knn_tiles.py on v5e, KITTI-like clouds):
-# 1024/128 now wins at every shape (the guard prunes whole-tile folds, so
-# smaller tiles skip more without paying the old per-tile fixed cost);
-# 128-query tiles give tighter bboxes than 256 at every tile_n.
-_SORTED_TILE_N = 1024
-_SORTED_TILE_Q = 128
+# Candidate/query tile sizes for the sorted kernel. Round-5 re-sweep on v5e
+# (tools/microbench_knn.py --tiles, batch 4, KITTI-like clouds) overturned
+# the earlier 1024/128 choice: 512/256 wins at every production shape —
+# same-set 16384^2 9.91 ms (vs 12.14 at 1024/128), 16384q/4096 6.72 (vs
+# 8.14), 4096q/16384 6.01 (vs 6.45). Wider query tiles amortize the per-tile
+# fold across 2x lanes; the finer candidate tile buys a better skip rate.
+# A query count divisible by 128 but not 256 falls back to 128-wide tiles
+# (same kernel, still exact) instead of losing kernel eligibility.
+_SORTED_TILE_N = 512
+_SORTED_TILE_Q = 256
 _SORTED_MIN_N = 4096  # below this the brute-force scan wins (sort overhead)
 
 
@@ -356,7 +359,7 @@ def _knn_pallas_sorted(k, xyz, new_xyz, same_set, interpret=False):
     b, n, _ = xyz.shape
     p = new_xyz.shape[1]
     tile_n = _SORTED_TILE_N
-    tile_q = _SORTED_TILE_Q
+    tile_q = _SORTED_TILE_Q if p % _SORTED_TILE_Q == 0 else 128
     num_tiles = n // tile_n
 
     ckey = _morton_key_bev(xyz)
@@ -493,7 +496,7 @@ def knn_pallas(
     if (
         n >= _SORTED_MIN_N
         and n % _SORTED_TILE_N == 0
-        and p % _SORTED_TILE_Q == 0
+        and (p % _SORTED_TILE_Q == 0 or p % 128 == 0)
     ):
         return _knn_pallas_sorted(k, xyz, new_xyz, same_set=same_set)
 
