@@ -115,6 +115,21 @@ def aggregate(xplane, iters, top):
         )
         print(f"{ftot / iters:9.3f}  {fam:12s} ({detail})")
 
+    # Individual data-movement instances: the per-op table above collapses
+    # all copies/reshapes into one line, which is how the round-5 image-copy
+    # tail hid. Instance names embed the HLO result shape — enough to find
+    # the producing layer.
+    by_inst = defaultdict(lambda: [0.0, 0])
+    for ev in evs:
+        if _op_key(ev.name) in _MOVE_OPS:
+            inst = ev.name.split(" = ")[0] if " = " in ev.name else ev.name
+            shape = ev.name.split(" = ")[1][:60] if " = " in ev.name else ""
+            by_inst[f"{inst} = {shape}"][0] += ev.duration_ns / 1e6
+            by_inst[f"{inst} = {shape}"][1] += 1
+    print("\ntop data-movement instances (ms/iter):")
+    for name, (ms, c) in sorted(by_inst.items(), key=lambda kv: -kv[1][0])[:15]:
+        print(f"{ms / iters:9.3f} {c // max(iters, 1):6d}  {name[:110]}")
+
 
 def main():
     ap = argparse.ArgumentParser()
