@@ -92,7 +92,7 @@ def main():
         # granularity on the same-set shape at the cost of more bbox tests.
         print("\ntile sweep (legacy):")
         for tile_n in (256, 512, 1024, 2048):
-            for tile_q in (128, 256):
+            for tile_q in (128, 256, 512):
                 for name, cand, qrs, same in shapes:
                     if cand.shape[1] % tile_n or qrs.shape[1] % tile_q:
                         continue

@@ -21,4 +21,6 @@ echo "=== bench batch 8 A/B ==="
 HFR_BENCH_BATCH=8 timeout 3600 python bench.py
 echo "=== fresh trace ==="
 timeout 1800 python tools/capture_trace.py
+echo "=== knn tile sweep incl. 512-wide query tiles (never swept) ==="
+timeout 1800 python tools/microbench_knn.py --tiles
 echo "=== postgen queue2 done at $(date -u) ==="
